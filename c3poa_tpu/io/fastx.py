@@ -1,0 +1,87 @@
+"""Streaming FASTA/FASTQ IO (gzip-aware).
+
+Replaces the reference's use of ``mappy.fastx_read`` (C3POa.py:201,232,239,
+bin/determine_consensus.py:98, C3POa_postprocessing.py:88,145).  A C fast
+path lives in ``native/fastxio.c`` (used automatically when built); this
+module is the always-available Python implementation with identical
+semantics:
+
+- FASTA: multi-line sequences concatenated; name is the first whitespace
+  token after '>' (mappy's read_comment=False behavior).
+- FASTQ: strict 4-line records; '+' line ignored.
+- '.gz' suffix or gzip magic bytes -> transparent decompression.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+from typing import Iterator, NamedTuple, Optional
+
+
+class FastxRecord(NamedTuple):
+    name: str
+    seq: str
+    qual: Optional[str]  # None for FASTA
+
+
+def open_maybe_gzip(path: str):
+    with open(path, "rb") as probe:
+        magic = probe.read(2)
+    if magic == b"\x1f\x8b":
+        return io.TextIOWrapper(gzip.open(path, "rb"), encoding="ascii")
+    return open(path, "r")
+
+
+def read_fastx(path: str) -> Iterator[FastxRecord]:
+    fh = open_maybe_gzip(path)
+    try:
+        first = fh.read(1)
+        if not first:
+            return
+        if first == ">":
+            yield from _read_fasta(fh)
+        elif first == "@":
+            yield from _read_fastq(fh)
+        else:
+            raise ValueError(f"{path}: not FASTA/FASTQ (starts with {first!r})")
+    finally:
+        fh.close()
+
+
+def _read_fasta(fh) -> Iterator[FastxRecord]:
+    # fh is positioned just after the first '>'
+    name = None
+    chunks: list[str] = []
+    for line in fh:
+        line = line.rstrip()
+        if name is None:
+            name = line.split()[0] if line.split() else ""
+            continue
+        if line.startswith(">"):
+            yield FastxRecord(name, "".join(chunks), None)
+            name = line[1:].split()[0] if line[1:].split() else ""
+            chunks = []
+        elif line:
+            chunks.append(line)
+    if name is not None:
+        yield FastxRecord(name, "".join(chunks), None)
+
+
+def _read_fastq(fh) -> Iterator[FastxRecord]:
+    # fh is positioned just after the first '@'
+    header = fh.readline().rstrip()
+    while True:
+        name = header.split()[0] if header.split() else ""
+        seq = fh.readline().rstrip()
+        plus = fh.readline()
+        qual = fh.readline().rstrip()
+        if not plus:
+            raise ValueError("truncated FASTQ record")
+        yield FastxRecord(name, seq, qual)
+        nxt = fh.readline()
+        if not nxt:
+            return
+        if not nxt.startswith("@"):
+            raise ValueError("malformed FASTQ record separator")
+        header = nxt[1:].rstrip()

@@ -1,0 +1,136 @@
+"""Synthetic R2C2 read simulator.
+
+The reference repo ships example inputs but no golden outputs or tests
+(SURVEY.md §4).  We generate R2C2 concatemers with *known* inserts so
+end-to-end tests can assert consensus identity against ground truth:
+
+    raw read = [frag][splint][copy][splint][copy]...[splint][frag]
+
+where ``copy`` is the insert with nanopore-style errors applied, and the two
+edge fragments are partial copies (producing dangling subreads, reference
+C3POa.py:145-155).  Strand flips and per-base qualities are simulated too.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import numpy as np
+
+from .utils.seqs import decode, revcomp, array_to_phred
+
+DEFAULT_SPLINT_LEN = 200
+
+
+def random_seq(rng: np.random.Generator, n: int) -> str:
+    return decode(rng.integers(0, 4, size=n).astype(np.int8))
+
+
+def mutate(rng: np.random.Generator, seq: str, sub: float, ins: float, dele: float):
+    """Apply independent per-base substitution/insertion/deletion errors."""
+    out = []
+    bases = "ACGT"
+    for ch in seq:
+        r = rng.random()
+        if r < dele:
+            continue
+        if r < dele + sub:
+            out.append(bases[int(rng.integers(0, 4))])
+        else:
+            out.append(ch)
+        while rng.random() < ins:
+            out.append(bases[int(rng.integers(0, 4))])
+    return "".join(out)
+
+
+@dataclasses.dataclass
+class SimRead:
+    name: str
+    seq: str
+    qual: str
+    insert: str          # ground-truth insert (strand of the raw read)
+    splint_name: str
+    strand: str          # '+' fwd splint, '-' revcomp splint present in read
+    n_copies: int        # number of full copies
+
+
+def make_read(
+    rng: np.random.Generator,
+    name: str,
+    splint: str,
+    splint_name: str = "Splint1",
+    insert_len: int = 1000,
+    n_copies: int = 5,
+    error: float = 0.05,
+    frag_frac: tuple[float, float] = (0.5, 0.5),
+    strand: str | None = None,
+    mean_q: int = 20,
+) -> SimRead:
+    """One R2C2 concatemer.  error is split 50/25/25 into sub/ins/del."""
+    sub, ins, dele = error * 0.5, error * 0.25, error * 0.25
+    insert = random_seq(rng, insert_len)
+
+    parts = []
+    # leading partial copy (tail of the insert), so first splint isn't at pos 0
+    lead = int(insert_len * frag_frac[0])
+    if lead > 0:
+        parts.append(mutate(rng, insert[-lead:], sub, ins, dele))
+    for _ in range(n_copies):
+        parts.append(mutate(rng, splint, sub, ins, dele))
+        parts.append(mutate(rng, insert, sub, ins, dele))
+    parts.append(mutate(rng, splint, sub, ins, dele))
+    trail = int(insert_len * frag_frac[1])
+    if trail > 0:
+        parts.append(mutate(rng, insert[:trail], sub, ins, dele))
+
+    seq = "".join(parts)
+    if strand is None:
+        strand = "+" if rng.random() < 0.5 else "-"
+    if strand == "-":
+        seq = revcomp(seq)
+
+    q = np.clip(rng.normal(mean_q, 4, size=len(seq)), 2, 40).astype(np.int8)
+    return SimRead(
+        name=name, seq=seq, qual=array_to_phred(q), insert=insert,
+        splint_name=splint_name, strand=strand, n_copies=n_copies,
+    )
+
+
+def make_dataset(
+    n_reads: int = 50,
+    seed: int = 0,
+    splints: dict[str, str] | None = None,
+    insert_len: tuple[int, int] = (600, 1500),
+    copies: tuple[int, int] = (2, 8),
+    error: float = 0.05,
+) -> tuple[list[SimRead], dict[str, str]]:
+    rng = np.random.default_rng(seed)
+    if splints is None:
+        splints = {"Splint1": random_seq(rng, DEFAULT_SPLINT_LEN)}
+    names = list(splints)
+    reads = []
+    for i in range(n_reads):
+        sp = names[int(rng.integers(0, len(names)))]
+        reads.append(
+            make_read(
+                rng,
+                name=f"simread_{i}",
+                splint=splints[sp],
+                splint_name=sp,
+                insert_len=int(rng.integers(*insert_len)),
+                n_copies=int(rng.integers(copies[0], copies[1] + 1)),
+                error=error,
+            )
+        )
+    return reads, splints
+
+
+def write_fastq(path: str, reads: list[SimRead]) -> None:
+    with open(path, "w") as fh:
+        for r in reads:
+            fh.write(f"@{r.name}\n{r.seq}\n+\n{r.qual}\n")
+
+
+def write_fasta(path: str, entries: dict[str, str]) -> None:
+    with open(path, "w") as fh:
+        for name, seq in entries.items():
+            fh.write(f">{name}\n{seq}\n")
