@@ -1,0 +1,2 @@
+from .vote import vote_consensus, record_for_draft
+from .engine import consensus_read, zero_repeat_consensus

@@ -205,9 +205,66 @@ def traceback(q, t, moves, j_end) -> AlignRecord:
                        score=0)
 
 
+def normalize_record(rec: AlignRecord, q, t) -> AlignRecord:
+    """Left-normalize indels within homopolymer runs (canonical gap placement).
+
+    Equivalent alignments place a surplus/missing base anywhere inside a
+    homopolymer run; different subreads then vote the same event onto
+    different columns/slots and the column vote splits (this is how POA
+    graphs win on homopolymers — insertions land on a shared node).  Shifting
+    every indel to the leftmost equivalent position makes votes coincide.
+    Emitted query strings are unchanged (pure re-labelling of the path).
+    """
+    cover = rec.cover.copy()
+    base = rec.base.copy()
+    qpos = rec.qpos.copy()
+    ins_len = rec.ins_len.copy()
+    ins_qstart = rec.ins_qstart.copy()
+    t = np.asarray(t)
+    q = np.asarray(q)
+    nt = len(t)
+
+    # deletions: del at col j moves left past matched cols with equal draft
+    # base (swap del/match labels; emitted chars identical)
+    for j in range(nt):
+        if cover[j] != 2:
+            continue
+        jj = j
+        while jj > 0 and cover[jj - 1] == 1 and t[jj - 1] == t[jj] \
+                and ins_len[jj] == 0:
+            cover[jj - 1], cover[jj] = 2, 1
+            base[jj] = base[jj - 1]
+            qpos[jj] = qpos[jj - 1]
+            base[jj - 1] = 4
+            qpos[jj - 1] = -1
+            jj -= 1
+
+    # insertions: a single-base insertion before col j moves left past an
+    # aligned query char of the same base (swap which query char is the
+    # "insert"; emitted chars identical).  Only length-1 insertions shift —
+    # longer rotations would break query-index contiguity of the record.
+    for j in range(1, nt + 1):
+        if ins_len[j] != 1:
+            continue
+        b = q[ins_qstart[j]]
+        jj = j
+        while jj > 0 and cover[jj - 1] == 1 and base[jj - 1] == b \
+                and ins_len[jj - 1] == 0:
+            ins_len[jj - 1] = 1
+            ins_qstart[jj - 1] = qpos[jj - 1]
+            qpos[jj - 1] = ins_qstart[jj]
+            ins_len[jj] = 0
+            ins_qstart[jj] = -1
+            jj -= 1
+    return AlignRecord(cover, base, qpos, ins_len, ins_qstart,
+                       rec.j_start, rec.j_end, rec.score)
+
+
 def align_and_trace(q, t, match=5, mismatch=-4, gap_open=4, gap_ext=2,
-                    band=128) -> AlignRecord:
+                    band=128, normalize=True) -> AlignRecord:
     score, j_end, moves, _lo = banded_align(
         q, t, match, mismatch, gap_open, gap_ext, band)
     rec = traceback(q, t, moves, j_end)
+    if normalize:
+        rec = normalize_record(rec, q, t)
     return rec._replace(score=int(score))
