@@ -1,0 +1,114 @@
+"""``c3poa`` CLI — flag surface of the reference driver (C3POa.py:26-63).
+
+Flags preserved: -r/--reads, -s/--splint_file, -o/--out_path, -c/--config,
+-l/--lencutoff, -d/--mdistcutoff, -z/--zero (store_false with default True:
+*passing* -z excludes zero-repeat reads, matching the reference's inverted
+semantics, C3POa.py:48-49), -n/--numThreads, -g/--groupSize,
+-b/--blatThreads, -co/--compress_output, -v/--version.
+
+-c is accepted for compatibility but ignored: there are no external
+racon/blat binaries to locate.  -b is accepted and ignored: chunking is
+driven by device batching, not BLAT process counts.
+
+Extra flag: --backend {auto,tpu,numpy} selects the compute backend
+(auto = TPU kernels when a TPU/accelerator is visible, else numpy).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from . import __version__
+from .consensus.engine import ConsensusParams
+from .pipeline.run import PipelineConfig, run_pipeline
+
+VERSION = f"v2.2.3+tpu ({__version__})"
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser(
+        description="Makes consensus sequences from R2C2 reads (TPU-native).",
+        add_help=True, prefix_chars="-")
+    parser.add_argument("--reads", "-r", type=str,
+                        help="FASTQ file that contains the long R2C2 reads.")
+    parser.add_argument("--splint_file", "-s", type=str,
+                        help="Path to the splint FASTA file.")
+    parser.add_argument("--out_path", "-o", type=str, default=".",
+                        help="Directory where all the files will end up.")
+    parser.add_argument("--config", "-c", type=str, default="",
+                        help="Accepted for compatibility; ignored (no "
+                             "external binaries are used).")
+    parser.add_argument("--lencutoff", "-l", type=int, default=1000,
+                        help="Raw read length cutoff (default 1000).")
+    parser.add_argument("--mdistcutoff", "-d", type=int, default=500,
+                        help="Median distance cutoff (default 500).")
+    parser.add_argument("--zero", "-z", action="store_false", default=True,
+                        help="Use to exclude zero repeat reads. Defaults to "
+                             "True (includes zero repeats).")
+    parser.add_argument("--numThreads", "-n", type=int, default=1,
+                        help="Worker threads for the CPU backend.")
+    parser.add_argument("--groupSize", "-g", type=int, default=1000,
+                        help="Reads per processing group (default 1000).")
+    parser.add_argument("--blatThreads", "-b", action="store_true",
+                        default=False,
+                        help="Accepted for compatibility; ignored.")
+    parser.add_argument("--compress_output", "-co", action="store_true",
+                        default=False,
+                        help="gzip the consensus fasta and subread fastq.")
+    parser.add_argument("--backend", type=str, default="auto",
+                        choices=["auto", "tpu", "numpy"],
+                        help="Compute backend (default: auto).")
+    parser.add_argument("--version", "-v", action="version", version=VERSION)
+
+    if argv is None and len(sys.argv) == 1:
+        parser.print_help()
+        sys.exit(0)
+    return parser.parse_args(argv)
+
+
+def pick_backend(name: str):
+    if name == "numpy":
+        from .pipeline.backend import NumpyBackend
+        return NumpyBackend()
+    if name in ("tpu", "auto"):
+        try:
+            from .pipeline.tpu_backend import TpuBackend
+            return TpuBackend()
+        except Exception as exc:  # no jax / no device
+            if name == "tpu":
+                raise
+            print(f"TPU backend unavailable ({exc}); using numpy backend",
+                  file=sys.stderr)
+            from .pipeline.backend import NumpyBackend
+            return NumpyBackend()
+    raise ValueError(name)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    if not args.reads or not args.splint_file:
+        print("Reads (--reads/-r) and splint (--splint_file/-s) are required",
+              file=sys.stderr)
+        sys.exit(1)
+    cfg = PipelineConfig(
+        lencutoff=args.lencutoff,
+        mdistcutoff=args.mdistcutoff,
+        zero=args.zero,
+        group_size=args.groupSize,
+        num_threads=args.numThreads,
+        compress=args.compress_output,
+        cons=ConsensusParams(),
+    )
+    backend = pick_backend(args.backend)
+    stats = run_pipeline(args.reads, args.splint_file, args.out_path, cfg,
+                         backend)
+    print(f"consensus written: {stats.consensus_written} "
+          f"(of {stats.total_reads} length-passing reads; "
+          f"{stats.no_splint} no-splint, {stats.short_reads} short)",
+          file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

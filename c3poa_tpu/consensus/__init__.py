@@ -1,2 +1,8 @@
 from .vote import vote_consensus, record_for_draft
-from .engine import consensus_read, zero_repeat_consensus
+from .engine import (
+    ConsensusJob,
+    ConsensusParams,
+    consensus_many,
+    consensus_read,
+    zero_repeat_consensus,
+)

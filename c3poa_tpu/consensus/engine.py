@@ -8,7 +8,8 @@ TPU-native redesign of the reference's three-stage consensus
 For tandem-repeat subreads (near-identical sequences with independent
 errors) POA's graph stays near-linear, so the same computation is expressed
 as rounds of banded align-to-draft + column vote — which batches perfectly
-on TPU (one aligner kernel launch covers thousands of subreads).
+on TPU (one aligner kernel launch covers thousands of subreads across many
+reads; the ``align_many`` hook is where the TPU kernel plugs in).
 
 Round structure mirrors the reference stages:
 - round 1 ("POA role"):  draft = length-medoid subread; align the core
@@ -28,13 +29,17 @@ around their overlap exactly like the reference
 from __future__ import annotations
 
 import dataclasses
-from typing import Sequence
+from typing import Callable, Sequence
 
 import numpy as np
 
 from ..ref import banded
 from .overlap import find_overlap
 from .vote import SubreadAln, record_for_draft, vote_consensus
+
+# align_many(pairs, params) -> list[SubreadAln]
+# pairs: list of (query_codes, query_quals, draft_codes)
+AlignMany = Callable[[list, "ConsensusParams"], list]
 
 
 @dataclasses.dataclass
@@ -54,12 +59,16 @@ class ConsensusParams:
     z_gap_ext: int = 5
 
 
-def _align(query, qual, draft, p: ConsensusParams) -> SubreadAln:
-    rec = banded.align_and_trace(
-        query, draft, match=p.match, mismatch=p.mismatch,
-        gap_open=p.gap_open, gap_ext=p.gap_ext, band=p.band)
-    return SubreadAln(rec, np.asarray(query, dtype=np.int8),
-                      np.asarray(qual, dtype=np.int8))
+def serial_align_many(pairs, p: ConsensusParams) -> list[SubreadAln]:
+    """Numpy fallback aligner (the TPU backend substitutes a batched one)."""
+    out = []
+    for query, qual, draft in pairs:
+        rec = banded.align_and_trace(
+            query, draft, match=p.match, mismatch=p.mismatch,
+            gap_open=p.gap_open, gap_ext=p.gap_ext, band=p.band)
+        out.append(SubreadAln(rec, np.asarray(query, dtype=np.int8),
+                              np.asarray(qual, dtype=np.int8)))
+    return out
 
 
 def pick_draft(subreads: Sequence[np.ndarray]) -> int:
@@ -69,49 +78,93 @@ def pick_draft(subreads: Sequence[np.ndarray]) -> int:
     return int(np.argmin(np.abs(lens - med)))
 
 
-def consensus_round(draft, draft_qual, members, p: ConsensusParams,
-                    skip_self: int | None = None):
-    """members: list of (codes, quals). Returns (codes, quals)."""
-    alns = [record_for_draft(draft, draft_qual)]
-    for i, (codes, quals) in enumerate(members):
-        if i == skip_self:
+@dataclasses.dataclass
+class ConsensusJob:
+    subreads: list          # core subread code arrays
+    sub_quals: list
+    dangling: list          # dangling fragment code arrays
+    dangling_quals: list
+
+
+def consensus_many(jobs: Sequence[ConsensusJob],
+                   p: ConsensusParams | None = None,
+                   align_many: AlignMany | None = None) -> list:
+    """Batched consensus across many reads.
+
+    Each round gathers every (subread, draft) pair across all jobs into one
+    ``align_many`` call — the unit of TPU batching — then votes per job.
+    Returns a list of (consensus_codes, consensus_quals) per job.
+    """
+    p = p or ConsensusParams()
+    align_many = align_many or serial_align_many
+
+    n = len(jobs)
+    cons: list = [None] * n
+    cons_q: list = [None] * n
+
+    # ---- round 1: POA role over core subreads ----
+    pairs, owners = [], []
+    for ji, job in enumerate(jobs):
+        r = len(job.subreads)
+        if r == 0:
+            cons[ji] = np.zeros(0, dtype=np.int8)
+            cons_q[ji] = np.zeros(0, dtype=np.int8)
             continue
-        alns.append(_align(codes, quals, draft, p))
-    return vote_consensus(len(draft), alns, qmin=p.qmin)
+        di = pick_draft(job.subreads)
+        if r == 1:
+            cons[ji] = np.asarray(job.subreads[0], dtype=np.int8)
+            cons_q[ji] = np.asarray(job.sub_quals[0], dtype=np.int8)
+            continue
+        for i in range(r):
+            if i != di:
+                pairs.append((job.subreads[i], job.sub_quals[i],
+                              job.subreads[di]))
+                owners.append(ji)
+        cons[ji] = ("draft", di)  # placeholder until vote
+    alns = align_many(pairs, p)
+    by_owner: dict[int, list] = {}
+    for a, o in zip(alns, owners):
+        by_owner.setdefault(o, []).append(a)
+    for ji, job in enumerate(jobs):
+        if isinstance(cons[ji], tuple) and cons[ji][0] == "draft":
+            di = cons[ji][1]
+            voters = [record_for_draft(np.asarray(job.subreads[di], dtype=np.int8),
+                                       np.asarray(job.sub_quals[di], dtype=np.int8))]
+            voters += by_owner.get(ji, [])
+            cons[ji], cons_q[ji] = vote_consensus(
+                len(job.subreads[di]), voters, qmin=p.qmin)
+
+    # ---- rounds 2..R: racon role over core + dangling ----
+    for _ in range(p.rounds - 1):
+        pairs, owners = [], []
+        for ji, job in enumerate(jobs):
+            if len(cons[ji]) == 0 or len(job.subreads) == 0:
+                continue
+            members = list(zip(job.subreads, job.sub_quals)) + \
+                list(zip(job.dangling, job.dangling_quals))
+            for codes, quals in members:
+                pairs.append((codes, quals, cons[ji]))
+                owners.append(ji)
+        if not pairs:
+            break
+        alns = align_many(pairs, p)
+        by_owner = {}
+        for a, o in zip(alns, owners):
+            by_owner.setdefault(o, []).append(a)
+        for ji in list(by_owner):
+            voters = [record_for_draft(cons[ji], cons_q[ji])] + by_owner[ji]
+            cons[ji], cons_q[ji] = vote_consensus(
+                len(cons[ji]), voters, qmin=p.qmin)
+    return list(zip(cons, cons_q))
 
 
 def consensus_read(subreads, sub_quals, dangling, dangling_quals,
-                   p: ConsensusParams | None = None):
-    """Consensus for one read's subreads.
-
-    subreads/dangling: lists of int8 code arrays; *_quals: int8 phred arrays.
-    Returns (consensus_codes, consensus_quals) — empty arrays if no
-    consensus could be formed.  Caller handles the zero-repeat path.
-    """
-    p = p or ConsensusParams()
-    r = len(subreads)
-    if r == 0:
-        return np.zeros(0, dtype=np.int8), np.zeros(0, dtype=np.int8)
-
-    # round 1: POA role over core subreads
-    di = pick_draft(subreads)
-    if r == 1:
-        cons, cons_q = np.asarray(subreads[0]), np.asarray(sub_quals[0])
-    else:
-        cons, cons_q = consensus_round(
-            subreads[di], sub_quals[di],
-            list(zip(subreads, sub_quals)), p, skip_self=di)
-        if len(cons) == 0:
-            return cons, cons_q
-
-    # round 2+: racon role over core + dangling subreads
-    members = list(zip(subreads, sub_quals)) + \
-        list(zip(dangling, dangling_quals))
-    for _ in range(p.rounds - 1):
-        cons, cons_q = consensus_round(cons, cons_q, members, p)
-        if len(cons) == 0:
-            break
-    return cons, cons_q
+                   p: ConsensusParams | None = None,
+                   align_many: AlignMany | None = None):
+    """Single-read convenience wrapper around ``consensus_many``."""
+    job = ConsensusJob(list(subreads), list(sub_quals),
+                       list(dangling), list(dangling_quals))
+    return consensus_many([job], p, align_many)[0]
 
 
 def zero_repeat_consensus(sub0, qual0, sub1, qual1,
@@ -137,7 +190,8 @@ def zero_repeat_consensus(sub0, qual0, sub1, qual1,
         p, match=p.z_match, mismatch=p.z_mismatch,
         gap_open=p.z_gap_open, gap_ext=p.z_gap_ext,
         band=max(p.band, 2 * abs(len(ov0) - len(ov1)) + 64))
-    alns = [record_for_draft(ov0, ovq0), _align(ov1, ovq1, ov0, zp)]
+    alns = [record_for_draft(ov0, ovq0)] + serial_align_many(
+        [(ov1, ovq1, ov0)], zp)
     merged, merged_q = vote_consensus(len(ov0), alns, qmin=p.qmin)
 
     cons = np.concatenate([sub1[:q_st], merged, sub0[r_en:]]).astype(np.int8)

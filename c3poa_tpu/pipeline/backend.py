@@ -1,0 +1,62 @@
+"""Pipeline compute backends.
+
+``NumpyBackend`` runs the reference (numpy) implementations — always
+available, used for tests and as the CPU fallback.  ``TpuBackend`` (in
+``pipeline/tpu_backend.py``) substitutes the batched JAX/Pallas kernels; the
+pipeline code is backend-agnostic.
+
+A backend provides:
+- ``locate_many(reads, combos, min_dist)``: per read, pick the best
+  (splint, strand) combo by raw profile score and return the smoothed-profile
+  peaks (the conk + BLAT-preprocess + call_peaks roles in one call).
+- ``align_many(pairs, params)``: batched banded alignment for the consensus
+  engine (``consensus.engine.AlignMany``).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence
+
+import numpy as np
+
+from ..consensus.engine import ConsensusParams, serial_align_many
+from ..ref import peaks as ref_peaks
+from ..ref import sg as ref_sg
+from ..ref import sw as ref_sw
+
+
+class Combo(NamedTuple):
+    splint_name: str
+    strand: str          # '+' or '-'
+    codes: np.ndarray    # int8; for '-' this is the revcomp of the splint
+    splint_len: int      # length of the original splint (for the peak shift)
+
+
+class LocateResult(NamedTuple):
+    combo: int           # index into combos
+    score: int           # raw profile max (no-splint decision input)
+    peaks: np.ndarray    # smoothed-profile peak indices
+
+
+class NumpyBackend:
+    def __init__(self, match: int = 1, mismatch: int = -1, gap: int = 1):
+        self.match, self.mismatch, self.gap = match, mismatch, gap
+
+    def locate_many(self, reads: Sequence[np.ndarray], combos: Sequence[Combo],
+                    min_dist: int) -> list[LocateResult]:
+        out = []
+        for codes in reads:
+            best_c, best_score, best_prof = -1, -1, None
+            for ci, combo in enumerate(combos):
+                prof = ref_sw.start_profile(
+                    combo.codes, codes, self.match, self.mismatch, self.gap)
+                m = int(prof.max(initial=0))
+                if m > best_score:
+                    best_c, best_score, best_prof = ci, m, prof
+            sm = ref_sg.smooth3(best_prof)
+            pks, _med = ref_peaks.call_peaks(sm, min_dist)
+            out.append(LocateResult(best_c, best_score, pks))
+        return out
+
+    def align_many(self, pairs, params: ConsensusParams):
+        return serial_align_many(pairs, params)

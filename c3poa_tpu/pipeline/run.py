@@ -1,0 +1,241 @@
+"""Single-host pipeline orchestration.
+
+Mirrors the reference driver (C3POa.py:175-272) with TPU-first structure:
+instead of a process pool scattering per-read work over temp directories
+(C3POa.py:236-257) and glob-order cat gathers (C3POa.py:259-272), reads
+stream in groups through batched backend calls and outputs are written in
+input order (deterministic — a documented improvement over the reference's
+glob-nondeterministic record order).
+
+Output grammar parity:
+- per-splint directories under out_path (C3POa.py:209-211)
+- ``R2C2_Consensus.fasta`` records ``>name_avgQual_rawLen_repeats_consLen``
+  with avg qual = round(mean phred, 2) (C3POa.py:167-173)
+- ``R2C2_Subreads.fastq`` naming: core subreads ``name_1..name_r``; dangling
+  head ``name_0``, dangling tail ``name_{r+1}``
+  (bin/determine_consensus.py:57-76); zero-repeat fragments ``name_0``,
+  ``name_1`` written even when the splice fails
+  (bin/determine_consensus.py:106-114)
+- ``c3poa.log`` stat lines (C3POa.py:214-228)
+- optional gzip of both outputs (C3POa.py:86-99, --compress_output)
+
+Documented deviations from reference quirks (SURVEY.md §3.5): failed
+zero-repeat splices drop the read cleanly instead of crashing/duplicating
+subreads; with ``-z`` (exclude zero repeats) single-peak reads are dropped
+without writes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import gzip
+import os
+from typing import Iterator
+
+import numpy as np
+
+from ..consensus.engine import (
+    ConsensusJob, ConsensusParams, consensus_many, zero_repeat_consensus,
+)
+from ..io.fastx import read_fastx
+from ..utils.seqs import decode, encode, phred_to_array, revcomp_encoded
+from .backend import Combo, NumpyBackend
+from .segment import segment_read
+
+VERSION = "v2.2.3+tpu"
+
+
+@dataclasses.dataclass
+class PipelineConfig:
+    lencutoff: int = 1000          # -l (C3POa.py:42)
+    mdistcutoff: int = 500         # -d (C3POa.py:45); also peak min distance
+    zero: bool = True              # --zero inverted flag (C3POa.py:48)
+    group_size: int = 1000         # -g
+    num_threads: int = 1           # -n (used by CPU-parallel path)
+    compress: bool = False         # -co
+    splint_min_score: int = 50     # no-splint analogue of BLAT matches>50
+                                   # (bin/preprocess.py:32)
+    cons: ConsensusParams = dataclasses.field(default_factory=ConsensusParams)
+
+
+@dataclasses.dataclass
+class PipelineStats:
+    total_reads: int = 0       # reads passing the length filter
+    short_reads: int = 0
+    no_splint: int = 0
+    consensus_written: int = 0
+
+    @property
+    def all_reads(self):
+        return self.total_reads + self.short_reads
+
+
+class _SplintWriters:
+    """Lazy per-splint output files, gzip-aware."""
+
+    def __init__(self, out_path: str, compress: bool):
+        self.out_path = out_path
+        self.compress = compress
+        self._handles: dict[str, tuple] = {}
+
+    def get(self, splint: str):
+        if splint not in self._handles:
+            d = os.path.join(self.out_path, splint)
+            os.makedirs(d, exist_ok=True)
+            suffix = ".gz" if self.compress else ""
+            op = (lambda p: gzip.open(p, "wt")) if self.compress else \
+                (lambda p: open(p, "w"))
+            cons = op(os.path.join(d, "R2C2_Consensus.fasta" + suffix))
+            subs = op(os.path.join(d, "R2C2_Subreads.fastq" + suffix))
+            self._handles[splint] = (cons, subs)
+        return self._handles[splint]
+
+    def close(self):
+        for cons, subs in self._handles.values():
+            cons.close()
+            subs.close()
+
+
+def _read_groups(path: str, lencutoff: int, group_size: int,
+                 stats: "PipelineStats") -> Iterator[list]:
+    """Yields read groups; counts length-filtered reads into stats
+    (mirrors the streaming group assembly of C3POa.py:238-254)."""
+    group: list = []
+    for rec in read_fastx(path):
+        if len(rec.seq) < lencutoff:
+            stats.short_reads += 1
+            continue
+        group.append(rec)
+        if len(group) == group_size:
+            yield group
+            group = []
+    if group:
+        yield group
+
+
+def _format_qual(q: np.ndarray) -> str:
+    return (np.clip(q.astype(np.int16), 0, 93) + 33).astype(np.uint8) \
+        .tobytes().decode("ascii")
+
+
+def run_pipeline(reads_path: str, splint_path: str, out_path: str,
+                 cfg: PipelineConfig | None = None, backend=None
+                 ) -> PipelineStats:
+    cfg = cfg or PipelineConfig()
+    backend = backend or NumpyBackend()
+    os.makedirs(out_path, exist_ok=True)
+
+    combos: list[Combo] = []
+    for rec in read_fastx(splint_path):
+        codes = encode(rec.seq)
+        combos.append(Combo(rec.name, "+", codes, len(codes)))
+        combos.append(Combo(rec.name, "-", revcomp_encoded(codes), len(codes)))
+    if not combos:
+        raise ValueError(f"no splints in {splint_path}")
+
+    stats = PipelineStats()
+    writers = _SplintWriters(out_path, cfg.compress)
+    try:
+        for group in _read_groups(reads_path, cfg.lencutoff,
+                                  cfg.group_size, stats):
+            stats.total_reads += len(group)
+            _process_group(group, combos, cfg, backend, writers, stats)
+    finally:
+        writers.close()
+
+    _write_log(out_path, stats)
+    return stats
+
+
+def _process_group(group, combos, cfg: PipelineConfig, backend, writers,
+                   stats: PipelineStats) -> None:
+    enc = [encode(r.seq) for r in group]
+    quals = [phred_to_array(r.qual) if r.qual is not None
+             else np.full(len(r.seq), 30, dtype=np.int8) for r in group]
+    located = backend.locate_many(enc, combos, cfg.mdistcutoff)
+
+    jobs: list[ConsensusJob] = []
+    job_meta: list = []       # (record idx, splint, repeats, dangling names)
+    zero_jobs: list = []      # (record idx, splint, bounds)
+
+    for ri, (rec, codes, qual, loc) in enumerate(
+            zip(group, enc, quals, located)):
+        if loc.score < cfg.splint_min_score:
+            stats.no_splint += 1
+            continue
+        combo = combos[loc.combo]
+        seg = segment_read(len(codes), loc.peaks, combo.splint_len)
+        if seg is None:
+            continue
+        if seg.zero_repeat:
+            if cfg.zero:
+                zero_jobs.append((ri, combo.splint_name, seg.dangling_bounds))
+            continue
+        subs = [codes[a:b] for a, b in seg.subread_bounds]
+        sq = [qual[a:b] for a, b in seg.subread_bounds]
+        dang = [codes[a:b] for a, b in seg.dangling_bounds]
+        dq = [qual[a:b] for a, b in seg.dangling_bounds]
+        jobs.append(ConsensusJob(subs, sq, dang, dq))
+        job_meta.append((ri, combo.splint_name, seg))
+
+    results = consensus_many(jobs, cfg.cons, backend.align_many)
+
+    emitted = []  # (record idx, splint, repeats, cons_codes, seg-like)
+    for (ri, splint, seg), job, (cons, _cq) in zip(job_meta, jobs, results):
+        emitted.append((ri, splint, len(job.subreads), cons, seg, job))
+
+    for ri, splint, bounds in zero_jobs:
+        codes, qual = enc[ri], quals[ri]
+        (a0, b0), (a1, b1) = bounds
+        cons, _cq = zero_repeat_consensus(
+            codes[a0:b0], qual[a0:b0], codes[a1:b1], qual[a1:b1], cfg.cons)
+        if len(cons) < cfg.mdistcutoff:
+            cons = np.zeros(0, dtype=np.int8)
+        job = ConsensusJob([], [], [codes[a0:b0], codes[a1:b1]],
+                           [qual[a0:b0], qual[a1:b1]])
+        seg = None
+        emitted.append((ri, splint, 0, cons, seg, job))
+
+    # write in input order
+    emitted.sort(key=lambda e: e[0])
+    for ri, splint, repeats, cons, seg, job in emitted:
+        rec = group[ri]
+        cons_fh, sub_fh = writers.get(splint)
+        _write_subreads(sub_fh, rec.name, job, repeats, zero=(seg is None))
+        if len(cons) == 0:
+            continue
+        qarr = quals[ri]
+        avg_qual = round(float(np.sum(qarr.astype(np.int64))) / len(qarr), 2)
+        header = f"{rec.name}_{avg_qual}_{len(rec.seq)}_{repeats}_{len(cons)}"
+        cons_fh.write(f">{header}\n{decode(cons)}\n")
+        stats.consensus_written += 1
+
+
+def _write_subreads(fh, name: str, job: ConsensusJob, repeats: int,
+                    zero: bool) -> None:
+    if zero:
+        # zero-repeat fragments: name_0, name_1 (bin/determine_consensus.py:110)
+        for i, (codes, q) in enumerate(zip(job.dangling, job.dangling_quals)):
+            fh.write(f"@{name}_{i}\n{decode(codes)}\n+\n{_format_qual(q)}\n")
+        return
+    for i, (codes, q) in enumerate(zip(job.subreads, job.sub_quals)):
+        fh.write(f"@{name}_{i + 1}\n{decode(codes)}\n+\n{_format_qual(q)}\n")
+    for j, (codes, q) in enumerate(zip(job.dangling, job.dangling_quals)):
+        idx = 0 if j == 0 else repeats + 1
+        fh.write(f"@{name}_{idx}\n{decode(codes)}\n+\n{_format_qual(q)}\n")
+
+
+def _write_log(out_path: str, stats: PipelineStats) -> None:
+    """c3poa.log stat lines (C3POa.py:214-228)."""
+    all_reads = max(stats.all_reads, 1)
+    thrown = stats.short_reads + stats.no_splint
+    with open(os.path.join(out_path, "c3poa.log"), "w") as fh:
+        print("C3POa version:", VERSION, file=fh)
+        print("Total reads:", stats.all_reads, file=fh)
+        print("No splint reads:", stats.no_splint,
+              "({:.2f}%)".format((stats.no_splint / all_reads) * 100), file=fh)
+        print("Under len cutoff:", stats.short_reads,
+              "({:.2f}%)".format((stats.short_reads / all_reads) * 100), file=fh)
+        print("Total thrown away reads:", thrown,
+              "({:.2f}%)".format((thrown / all_reads) * 100), file=fh)
+        print("Reads after preprocessing:", stats.all_reads - thrown, file=fh)

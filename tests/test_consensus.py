@@ -92,10 +92,10 @@ def test_vote_majority_insertion_called():
     draft = encode(truth[:150] + truth[151:])
     dq = np.full(len(draft), 20, dtype=np.int8)
     subs, quals = make_copies(rng, truth, 4, 0.02)
-    from c3poa_tpu.consensus.engine import _align
+    from c3poa_tpu.consensus.engine import serial_align_many
     p = ConsensusParams()
     alns = [record_for_draft(draft, dq)] + \
-        [_align(s, q, draft, p) for s, q in zip(subs, quals)]
+        serial_align_many([(s, q, draft) for s, q in zip(subs, quals)], p)
     cons, _ = vote_consensus(len(draft), alns)
     assert identity(cons, encode(truth)) > 0.995
 

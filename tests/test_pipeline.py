@@ -1,0 +1,153 @@
+import gzip
+import os
+
+import numpy as np
+import pytest
+
+from c3poa_tpu import sim
+from c3poa_tpu.io.fastx import read_fastx
+from c3poa_tpu.pipeline.run import PipelineConfig, run_pipeline
+from c3poa_tpu.ref import banded
+from c3poa_tpu.utils import encode
+
+
+def identity(a, b):
+    band = max(256, 2 * abs(len(a) - len(b)) + 64)
+    rec = banded.align_and_trace(a, b, band=band)
+    return int(((rec.cover == 1) & (rec.base == b)).sum()) / max(len(a), len(b))
+
+
+def rotated_truth(read, splints):
+    """Expected consensus: [splint 2nd half][insert][splint 1st half]."""
+    sp = splints[read.splint_name]
+    h = len(sp) // 2
+    rot = sp[h:] + read.insert + sp[:h]
+    if read.strand == "-":
+        from c3poa_tpu.utils.seqs import revcomp
+        rot = revcomp(rot)
+    return rot
+
+
+@pytest.fixture(scope="module")
+def small_run(tmp_path_factory):
+    d = tmp_path_factory.mktemp("pipe")
+    reads, splints = sim.make_dataset(
+        n_reads=10, seed=7, insert_len=(700, 1200), copies=(2, 6), error=0.05)
+    # add a short read (filtered) and a junk read (no splint)
+    rng = np.random.default_rng(0)
+    import dataclasses
+    junk = dataclasses.replace(
+        reads[0], name="junk", seq=sim.random_seq(rng, 4000),
+        qual="I" * 4000)
+    shorty = dataclasses.replace(
+        reads[0], name="shorty", seq=sim.random_seq(rng, 300), qual="I" * 300)
+    all_reads = reads + [junk, shorty]
+    sim.write_fastq(str(d / "reads.fastq"), all_reads)
+    sim.write_fasta(str(d / "splint.fasta"), splints)
+    out = str(d / "out")
+    stats = run_pipeline(str(d / "reads.fastq"), str(d / "splint.fasta"),
+                         out, PipelineConfig(group_size=5))
+    return reads, splints, out, stats
+
+
+def test_pipeline_stats(small_run):
+    reads, splints, out, stats = small_run
+    assert stats.short_reads == 1
+    assert stats.no_splint == 1
+    assert stats.total_reads == 11  # junk passes length filter
+    assert stats.consensus_written >= 9
+
+
+def test_pipeline_log_format(small_run):
+    _, _, out, stats = small_run
+    lines = open(os.path.join(out, "c3poa.log")).read().splitlines()
+    assert lines[1] == f"Total reads: {stats.all_reads}"
+    assert lines[2].startswith("No splint reads: 1 (")
+    assert lines[3].startswith("Under len cutoff: 1 (")
+    assert lines[5] == f"Reads after preprocessing: {stats.all_reads - 2}"
+
+
+def test_pipeline_consensus_output(small_run):
+    reads, splints, out, stats = small_run
+    path = os.path.join(out, "Splint1", "R2C2_Consensus.fasta")
+    recs = {r.name: r for r in read_fastx(path)}
+    by_base = {}
+    for name, rec in recs.items():
+        parts = name.rsplit("_", 4)
+        base, avg_q, raw_len, repeats, cons_len = (
+            parts[0], float(parts[1]), int(parts[2]), int(parts[3]),
+            int(parts[4]))
+        assert cons_len == len(rec.seq)
+        by_base[base] = (rec.seq, repeats, raw_len)
+    sim_reads = {r.name: r for r in reads}
+    assert set(by_base) <= set(sim_reads)
+    n_good = 0
+    for base, (seq, repeats, raw_len) in by_base.items():
+        r = sim_reads[base]
+        assert raw_len == len(r.seq)
+        truth = rotated_truth(r, splints)
+        ident = identity(encode(seq), encode(truth))
+        if ident > 0.98:
+            n_good += 1
+    assert n_good >= len(by_base) - 1
+
+
+def test_pipeline_output_in_input_order(small_run):
+    reads, splints, out, _ = small_run
+    path = os.path.join(out, "Splint1", "R2C2_Consensus.fasta")
+    names = [r.name.rsplit("_", 4)[0] for r in read_fastx(path)]
+    order = {r.name: i for i, r in enumerate(reads)}
+    idx = [order[n] for n in names]
+    assert idx == sorted(idx)
+
+
+def test_pipeline_subreads_naming(small_run):
+    reads, splints, out, _ = small_run
+    path = os.path.join(out, "Splint1", "R2C2_Subreads.fastq")
+    subs = list(read_fastx(path))
+    assert len(subs) > 0
+    # group by base read name; indices must be 0..k contiguous-ish:
+    # core reads 1..r always present; 0 / r+1 only when danglings exist
+    from collections import defaultdict
+    by_base = defaultdict(list)
+    for s in subs:
+        base, idx = s.name.rsplit("_", 1)
+        by_base[base].append(int(idx))
+        assert s.qual is not None and len(s.qual) == len(s.seq)
+    for base, idxs in by_base.items():
+        assert len(set(idxs)) == len(idxs)
+        core = [i for i in idxs if 1 <= i]
+        assert core, f"{base}: {idxs}"
+
+
+def test_pipeline_two_splints(tmp_path):
+    reads, splints = sim.make_dataset(
+        n_reads=8, seed=11, insert_len=(700, 900), copies=(2, 4),
+        error=0.04,
+        splints={"SplintA": sim.random_seq(np.random.default_rng(1), 200),
+                 "SplintB": sim.random_seq(np.random.default_rng(2), 250)})
+    sim.write_fastq(str(tmp_path / "r.fastq"), reads)
+    sim.write_fasta(str(tmp_path / "s.fasta"), splints)
+    out = str(tmp_path / "out")
+    run_pipeline(str(tmp_path / "r.fastq"), str(tmp_path / "s.fasta"), out,
+                 PipelineConfig())
+    for sp in ("SplintA", "SplintB"):
+        expected = {r.name for r in reads if r.splint_name == sp}
+        if not expected:
+            continue
+        path = os.path.join(out, sp, "R2C2_Consensus.fasta")
+        got = {r.name.rsplit("_", 4)[0] for r in read_fastx(path)}
+        # demux routing must be correct for every written read
+        assert got <= expected
+
+
+def test_pipeline_compress(tmp_path):
+    reads, splints = sim.make_dataset(n_reads=3, seed=3, copies=(3, 4))
+    sim.write_fastq(str(tmp_path / "r.fastq"), reads)
+    sim.write_fasta(str(tmp_path / "s.fasta"), splints)
+    out = str(tmp_path / "out")
+    run_pipeline(str(tmp_path / "r.fastq"), str(tmp_path / "s.fasta"), out,
+                 PipelineConfig(compress=True))
+    path = os.path.join(out, "Splint1", "R2C2_Consensus.fasta.gz")
+    with gzip.open(path, "rt") as fh:
+        assert fh.readline().startswith(">")
