@@ -1,0 +1,62 @@
+"""Batched, length-masked Savitzky-Golay smoothing (device kernel).
+
+Replaces the per-read triple SG pass of the reference (bin/call_peaks.py:10-11
+calling bin/savitzky_golay.py) with one batched convolution over (B, L)
+score blocks.  The reference's exact edge semantics are reproduced *per
+read length* (the edge sits at ``len``, not at the padded L):
+
+- head pad:  y[0] - |y[k] - y[0]|      for k = half..1   (savitzky_golay.py:33)
+- tail pad:  y[n-1] + |y[2n-2-k] - y[n-1]|  for k = n..n+half-1  (:34)
+- 41-tap order-2 coefficients from the pinv of the Vandermonde (:30-31)
+
+Computed in float32 (TPU native); the float64 reference agrees to ~1e-5
+relative, far below the 3x/6x-median decision margins downstream.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ref.sg import sg_coeffs
+
+
+@partial(jax.jit, static_argnames=("window", "order", "iters"))
+def smooth3_batch(scores: jax.Array, lens: jax.Array, window: int = 41,
+                  order: int = 2, iters: int = 3) -> jax.Array:
+    """scores: (B, L) float32; lens: (B,) int32 valid lengths (>= window+1
+    assumed, guaranteed by the pipeline's length cutoff).  Returns (B, L)
+    float32; entries beyond each read's length are zero."""
+    B, L = scores.shape
+    half = (window - 1) // 2
+    # np.convolve(m[::-1], ext, 'valid')[j] == sum_u m[u] * ext[j+u]
+    # (the double flip cancels; deriv-0 SG coefficients are symmetric anyway)
+    m = jnp.asarray(sg_coeffs(window, order), dtype=jnp.float32)
+
+    x = scores.astype(jnp.float32)
+    lens = lens.astype(jnp.int32)
+    jidx = jnp.arange(L + 2 * half, dtype=jnp.int32)[None, :] - half  # (1, Lext)
+    n = lens[:, None]
+
+    valid_mask = (jnp.arange(L, dtype=jnp.int32)[None, :] < n)
+
+    for _ in range(iters):
+        # build the reference's edge-padded signal via gathers
+        head_idx = -jidx                     # y[half-j'] reflect: k -> -k
+        tail_idx = 2 * (n - 1) - jidx        # y[2n-2-k]
+        src = jnp.where(jidx < 0, head_idx, jnp.where(jidx >= n, tail_idx, jidx))
+        src = jnp.clip(src, 0, L - 1)
+        ext = jnp.take_along_axis(x, src, axis=1)
+        y0 = x[:, :1]
+        yn = jnp.take_along_axis(x, jnp.maximum(n - 1, 0), axis=1)
+        head_val = y0 - jnp.abs(ext - y0)
+        tail_val = yn + jnp.abs(ext - yn)
+        ext = jnp.where(jidx < 0, head_val, jnp.where(jidx >= n, tail_val, ext))
+        out = jnp.zeros_like(x)
+        for k in range(window):
+            out = out + m[k] * jax.lax.dynamic_slice_in_dim(ext, k, L, axis=1)
+        x = jnp.where(valid_mask, out, 0.0)
+    return x

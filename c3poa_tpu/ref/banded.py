@@ -62,9 +62,12 @@ def sub_matrix(match: int = 5, mismatch: int = -4) -> np.ndarray:
 
 
 def band_starts(nq: int, nt: int, band: int) -> np.ndarray:
-    """lo(i) for i in 0..nq."""
-    i = np.arange(nq + 1, dtype=np.float64)
-    ctr = np.round(i * nt / max(nq, 1)).astype(np.int64)
+    """lo(i) for i in 0..nq.
+
+    Computed in float32 so the host reference and the TPU kernel (f32
+    arithmetic) pick identical band placements."""
+    i = np.arange(nq + 1, dtype=np.float32)
+    ctr = np.round(i * np.float32(nt) / np.float32(max(nq, 1))).astype(np.int64)
     hi = max(nt + 1 - band, 0)
     return np.clip(ctr - band // 2, 0, hi)
 

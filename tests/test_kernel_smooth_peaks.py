@@ -1,0 +1,99 @@
+import numpy as np
+import pytest
+
+from c3poa_tpu import sim
+from c3poa_tpu.kernels.peaks import call_peaks_batch, masked_median
+from c3poa_tpu.kernels.smooth import smooth3_batch
+from c3poa_tpu.ref import peaks as ref_peaks
+from c3poa_tpu.ref import sg as ref_sg
+from c3poa_tpu.ref import sw as ref_sw
+from c3poa_tpu.utils import encode
+
+
+def batch_of_profiles(seed=0, n=4, L=4096):
+    """Realistic conk-role score profiles of varying lengths."""
+    rng = np.random.default_rng(seed)
+    splint = sim.random_seq(rng, 120)
+    rows, lens = [], []
+    for i in range(n):
+        read = sim.make_read(rng, f"r{i}", splint,
+                             insert_len=int(rng.integers(400, 800)),
+                             n_copies=int(rng.integers(2, 5)), error=0.06)
+        prof = ref_sw.start_profile(encode(splint), encode(read.seq))
+        row = np.zeros(L, dtype=np.float32)
+        ln = min(len(prof), L)
+        row[:ln] = prof[:ln]
+        rows.append(row)
+        lens.append(ln)
+    return np.stack(rows), np.array(lens, dtype=np.int32)
+
+
+def test_smooth3_matches_reference():
+    scores, lens = batch_of_profiles()
+    out = np.asarray(smooth3_batch(scores, lens))
+    for b in range(len(lens)):
+        want = ref_sg.smooth3(scores[b, :lens[b]].astype(np.float64))
+        got = out[b, :lens[b]]
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-3)
+        assert (out[b, lens[b]:] == 0).all()
+
+
+def test_masked_median_matches_numpy():
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(3, 100)).astype(np.float32)
+    lens = np.array([100, 57, 8], dtype=np.int32)
+    got = np.asarray(masked_median(x, lens))
+    for b in range(3):
+        np.testing.assert_allclose(got[b], np.median(x[b, :lens[b]]), rtol=1e-6)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_call_peaks_batch_matches_ref(seed):
+    scores, lens = batch_of_profiles(seed=seed)
+    sm = np.asarray(smooth3_batch(scores, lens))
+    min_dist = 300
+    pos, n, med = call_peaks_batch(sm, lens, min_dist)
+    pos, n, med = np.asarray(pos), np.asarray(n), np.asarray(med)
+    for b in range(len(lens)):
+        # feed the identical (f32-smoothed) values to the reference rules
+        want, want_med = ref_peaks.call_peaks(
+            sm[b, :lens[b]].astype(np.float64), min_dist)
+        got = pos[b, :n[b]]
+        np.testing.assert_array_equal(got, want, err_msg=f"row {b}")
+        np.testing.assert_allclose(med[b], want_med, rtol=1e-5)
+
+
+def test_call_peaks_batch_gates_junk():
+    rng = np.random.default_rng(9)
+    splint = sim.random_seq(rng, 120)
+    junk = sim.random_seq(rng, 3000)
+    prof = ref_sw.start_profile(encode(splint), encode(junk)).astype(np.float32)
+    L = 4096
+    row = np.zeros((1, L), dtype=np.float32)
+    row[0, :len(prof)] = prof
+    lens = np.array([len(prof)], dtype=np.int32)
+    sm = smooth3_batch(row, lens)
+    pos, n, _ = call_peaks_batch(np.asarray(sm), lens, 300)
+    assert int(np.asarray(n)[0]) == 0
+
+
+def test_call_peaks_batch_plateaus_and_ties():
+    # synthetic rows with plateaus and equal-height peaks
+    L = 256
+    x = np.zeros((2, L), dtype=np.float32)
+    x[0, 10:13] = 5.0   # plateau -> midpoint 11
+    x[0, 100] = 7.0
+    x[1, 20] = 5.0
+    x[1, 40] = 5.0      # equal heights, distance selection tie
+    x[1, 60] = 5.0
+    lens = np.array([L, L], dtype=np.int32)
+    for dist in (5, 25, 100):
+        pos, n, _ = call_peaks_batch(x, lens, dist)
+        pos, n = np.asarray(pos), np.asarray(n)
+        for b in range(2):
+            want = ref_peaks.find_peaks(x[b].astype(np.float64),
+                                        distance=dist, height=-1e30)
+            # rows here have median 0 -> height threshold 0, gate passes
+            want = want[x[b][want] >= 0]
+            np.testing.assert_array_equal(pos[b, :n[b]], want,
+                                          err_msg=f"b={b} dist={dist}")
