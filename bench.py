@@ -1,0 +1,96 @@
+#!/usr/bin/env python3
+"""Benchmark: consensus reads/sec on one chip, end-to-end.
+
+Generates a synthetic R2C2 dataset (typical production shape: 5-15 copies,
+0.5-2 kb inserts, 5% error), runs the full pipeline (locate -> segment ->
+2-round consensus -> outputs) on the default accelerator backend, and prints
+ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "reads/s", "vs_baseline": N}
+
+vs_baseline is measured against this machine's CPU running the same
+algorithms (numpy backend) scaled to the reference's 32-thread usage
+example (README.md:67: -n 32) — the reference itself cannot run here (its
+native deps conk/abpoa/racon/blat are not installed), so the proxy is
+measured, not assumed: baseline = numpy-backend reads/s x 32.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+
+def make_dataset(path, n_reads, seed=0):
+    from c3poa_tpu import sim
+    reads, splints = sim.make_dataset(
+        n_reads=n_reads, seed=seed, insert_len=(500, 2000),
+        copies=(5, 15), error=0.05)
+    sim.write_fastq(os.path.join(path, "reads.fastq"), reads)
+    sim.write_fasta(os.path.join(path, "splint.fasta"), splints)
+    return reads
+
+
+def run_once(path, out, backend, group_size=1000):
+    from c3poa_tpu.pipeline.run import PipelineConfig, run_pipeline
+    t0 = time.time()
+    stats = run_pipeline(
+        os.path.join(path, "reads.fastq"), os.path.join(path, "splint.fasta"),
+        out, PipelineConfig(group_size=group_size), backend)
+    dt = time.time() - t0
+    return stats, dt
+
+
+def main():
+    n_reads = int(os.environ.get("BENCH_READS", "64"))
+    n_base = int(os.environ.get("BENCH_BASE_READS", "4"))
+
+    with tempfile.TemporaryDirectory() as d:
+        make_dataset(d, n_reads)
+
+        from c3poa_tpu.pipeline.backend import NumpyBackend
+        try:
+            from c3poa_tpu.pipeline.tpu_backend import TpuBackend
+            backend = TpuBackend()
+            name = "tpu"
+        except Exception:
+            backend = NumpyBackend()
+            name = "numpy"
+
+        # warmup (compiles all bucket shapes on a subset)
+        warm = os.path.join(d, "warm")
+        make_dataset(os.path.join(d), n_base, seed=1)
+        run_once(d, warm, backend)
+
+        make_dataset(d, n_reads)
+        stats, dt = run_once(d, os.path.join(d, "out"), backend)
+        reads_s = stats.total_reads / dt
+
+        # CPU proxy baseline: same algorithms, numpy backend, one core
+        base_dir = os.path.join(d, "base")
+        os.makedirs(base_dir, exist_ok=True)
+        make_dataset(base_dir, n_base, seed=2)
+        bstats, bdt = run_once(base_dir, os.path.join(base_dir, "out"),
+                               NumpyBackend())
+        base_reads_s = bstats.total_reads / bdt
+        baseline_32t = base_reads_s * 32
+
+        result = {
+            "metric": f"consensus_reads_per_sec_1chip_{name}",
+            "value": round(reads_s, 3),
+            "unit": "reads/s",
+            "vs_baseline": round(reads_s / baseline_32t, 3),
+        }
+        print(json.dumps(result))
+        print(f"# {stats.consensus_written}/{stats.total_reads} consensi in "
+              f"{dt:.1f}s ({name}); cpu-proxy 1-thread {base_reads_s:.2f} r/s, "
+              f"x32 baseline {baseline_32t:.2f} r/s", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

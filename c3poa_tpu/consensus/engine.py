@@ -136,21 +136,40 @@ def consensus_many(jobs: Sequence[ConsensusJob],
 
     # ---- rounds 2..R: racon role over core + dangling ----
     for _ in range(p.rounds - 1):
-        pairs, owners = [], []
+        pairs, meta = [], []  # meta: (owner, window_offset, full_nt)
         for ji, job in enumerate(jobs):
             if len(cons[ji]) == 0 or len(job.subreads) == 0:
                 continue
-            members = list(zip(job.subreads, job.sub_quals)) + \
-                list(zip(job.dangling, job.dangling_quals))
-            for codes, quals in members:
-                pairs.append((codes, quals, cons[ji]))
-                owners.append(ji)
+            draft = cons[ji]
+            members = [(c, q, False) for c, q in
+                       zip(job.subreads, job.sub_quals)] + \
+                      [(c, q, True) for c, q in
+                       zip(job.dangling, job.dangling_quals)]
+            for codes, quals, is_dangling in members:
+                target, offset = draft, 0
+                if is_dangling and len(codes) < len(draft) - p.band // 2:
+                    # partial copies do not follow the length-interpolated
+                    # band diagonal: anchor them to a draft window first
+                    # (the role mappy's map-ont preset plays in the
+                    # reference, bin/determine_consensus.py:56)
+                    hit = find_overlap(np.asarray(draft), np.asarray(codes))
+                    if hit is None:
+                        continue
+                    r_st, r_en, q_st, q_en = hit
+                    ws = max(0, r_st - q_st - 64)
+                    we = min(len(draft), r_en + (len(codes) - q_en) + 64)
+                    target, offset = draft[ws:we], ws
+                pairs.append((codes, quals, target))
+                meta.append((ji, offset, len(draft)))
         if not pairs:
             break
         alns = align_many(pairs, p)
-        by_owner = {}
-        for a, o in zip(alns, owners):
-            by_owner.setdefault(o, []).append(a)
+        by_owner: dict[int, list] = {}
+        for a, (ji, offset, full_nt) in zip(alns, meta):
+            if offset != 0 or len(a.rec.cover) != full_nt:
+                a = SubreadAln(banded.embed_record(a.rec, offset, full_nt),
+                               a.query, a.qual)
+            by_owner.setdefault(ji, []).append(a)
         for ji in list(by_owner):
             voters = [record_for_draft(cons[ji], cons_q[ji])] + by_owner[ji]
             cons[ji], cons_q[ji] = vote_consensus(

@@ -59,13 +59,19 @@ def record_for_draft(draft: np.ndarray, qual: np.ndarray) -> SubreadAln:
                       np.asarray(qual, dtype=np.int8))
 
 
-def vote_consensus(nt: int, alns: Sequence[SubreadAln], qmin: int = 5
-                   ) -> tuple[np.ndarray, np.ndarray]:
+def vote_consensus(nt: int, alns: Sequence[SubreadAln], qmin: int = 5,
+                   use_native: bool = True) -> tuple[np.ndarray, np.ndarray]:
     """Returns (consensus codes int8, consensus quals int8).
 
     Consensus quality per emitted base = clipped mean quality of the
     agreeing votes (diagnostic only; the reference emits plain FASTA).
+    Uses the C fast path (native/traceback.c:c3_vote) when built.
     """
+    if use_native:
+        from .. import native
+        res = native.vote_consensus_c(nt, alns, qmin)
+        if res is not None:
+            return res
     counts = np.zeros((nt, 5), dtype=np.int32)       # A C G T del
     counts_all = np.zeros((nt, 5), dtype=np.int32)   # ungated fallback
     qsum = np.zeros((nt, 5), dtype=np.int64)
@@ -76,7 +82,7 @@ def vote_consensus(nt: int, alns: Sequence[SubreadAln], qmin: int = 5
     for a, (rec, query, qual) in enumerate(alns):
         is_base = rec.cover == 1
         is_del = rec.cover == 2
-        cols = np.flatnonzero(is_base)
+        cols = np.flatnonzero(is_base & (rec.base < 4))  # N bases don't vote
         if len(cols):
             b = rec.base[cols].astype(np.int64)
             q = qual[rec.qpos[cols]].astype(np.int64)

@@ -36,6 +36,11 @@ def band_starts_np(nq: int, nt: int, band: int) -> np.ndarray:
     return np.clip(ctr - band // 2, 0, hi)
 
 
+# max band shift per DP row; requires nt <= SMAX * nq per pair (the backend
+# guarantees this by windowing length-mismatched pairs)
+SMAX = 3
+
+
 @partial(jax.jit, static_argnames=("band", "match", "mismatch",
                                    "gap_open", "gap_ext"))
 def banded_align_batch(queries: jax.Array, targets: jax.Array,
@@ -46,6 +51,12 @@ def banded_align_batch(queries: jax.Array, targets: jax.Array,
 
     Returns (scores (P,) int32, j_end (P,) int32,
              moves (P, nq_max, W) uint8) — moves row r holds DP row r+1.
+
+    Gather-free formulation (dynamic per-row gathers cost ~500us/step on
+    TPU): the band start advances by s = lo(i) - lo(i-1) in {0..SMAX} per
+    row, so prev-row realignment is a select over SMAX+1 *static* shifts,
+    and target chars come from a carried sliding window refreshed with one
+    (P, SMAX+1) gather per step.  Requires nt <= SMAX * nq.
     """
     P, nq_max = queries.shape
     _, nt_max = targets.shape
@@ -59,6 +70,7 @@ def banded_align_batch(queries: jax.Array, targets: jax.Array,
 
     karr = jnp.arange(W, dtype=jnp.int32)[None, :]           # (1, W)
     hi = jnp.maximum(t_lens + 1 - W, 0)                      # (P,)
+    R = SMAX + 1
 
     def lo_of(i):
         i_eff = jnp.minimum(i, q_lens).astype(jnp.float32)
@@ -66,31 +78,59 @@ def banded_align_batch(queries: jax.Array, targets: jax.Array,
                         jnp.maximum(q_lens, 1).astype(jnp.float32))
         return jnp.clip(ctr.astype(jnp.int32) - W // 2, 0, hi)  # (P,)
 
-    lo0 = lo_of(jnp.int32(0))
+    def sel_shift(M, s, delta, fill):
+        """M[p, k + s[p] + delta] via select over static shifts;
+        s in [0, SMAX], delta in {-1, 0}."""
+        out = None
+        for v in range(R):
+            d = v + delta
+            if d >= 0:
+                sh = jnp.pad(M[:, d:], ((0, 0), (0, d)), constant_values=fill)
+            else:
+                sh = jnp.pad(M[:, :d], ((0, 0), (-d, 0)), constant_values=fill)
+            out = sh if out is None else \
+                jnp.where((s == v)[:, None], sh, out)
+        return out
+
+    def cummax(A):
+        # manual doubling: static shifts only
+        d = 1
+        while d < W:
+            A = jnp.maximum(
+                A, jnp.pad(A[:, :-d], ((0, 0), (d, 0)), constant_values=NEG))
+            d *= 2
+        return A
+
+    lo0 = lo_of(jnp.int32(0))                                # == 0 always
     in_band0 = (lo0[:, None] + karr) <= t_lens[:, None]
     H0 = jnp.where(in_band0, 0, NEG)
     E0 = jnp.full((P, W), NEG, dtype=jnp.int32)
+    # target char window: tw[k] = t[lo(i) - 1 + k], width W + SMAX + 1.
+    # lo(0) = 0, so the initial anchor is -1: [pad, t[0], ..., t[W+SMAX-1]]
+    tw0 = jnp.concatenate(
+        [jnp.full((P, 1), 4, dtype=jnp.int32), targets[:, :W + SMAX]], axis=1)
 
-    def gather_shift(M, s, delta):
-        """M[p, k + s[p] + delta] with NEG outside [0, W)."""
-        idx = karr + s[:, None] + delta
-        ok = (idx >= 0) & (idx < W)
-        g = jnp.take_along_axis(M, jnp.clip(idx, 0, W - 1), axis=1)
-        return jnp.where(ok, g, NEG)
+    refill_off = jnp.arange(R, dtype=jnp.int32)[None, :]     # (1, R)
 
     def step(carry, i):
-        H_prev, E_prev, lo_prev = carry
+        H_prev, E_prev, tw, lo_prev = carry
         lo_i = lo_of(i)
-        s = lo_i - lo_prev                                   # (P,) >= 0
-        Hp = gather_shift(H_prev, s, 0)
-        Ep = gather_shift(E_prev, s, 0)
-        Hd = gather_shift(H_prev, s, -1)
+        s = lo_i - lo_prev                                   # (P,) in [0,SMAX]
+        Hp = sel_shift(H_prev, s, 0, NEG)
+        Ep = sel_shift(E_prev, s, 0, NEG)
+        Hd = sel_shift(H_prev, s, -1, NEG)
+        tw = sel_shift(tw, s, 0, 4)
+        # refresh the (possibly stale) top R window slots with one tiny gather
+        ridx = lo_i[:, None] - 1 + W + refill_off            # (P, R)
+        rch = jnp.take_along_axis(
+            targets, jnp.clip(ridx, 0, nt_max - 1), axis=1)
+        rch = jnp.where((ridx < 0) | (ridx >= nt_max), 4, rch)
+        tw = jnp.concatenate([tw[:, :W], rch], axis=1)
 
         jcol = lo_i[:, None] + karr                          # (P, W)
         qi = jnp.clip(i - 1, 0, nq_max - 1)
         qc = jax.lax.dynamic_slice_in_dim(queries, qi, 1, axis=1)  # (P, 1)
-        tc = jnp.take_along_axis(
-            targets, jnp.clip(jcol - 1, 0, nt_max - 1), axis=1)
+        tc = tw[:, :W]                                       # t[jcol - 1]
         sub = jnp.where((qc == 4) | (tc == 4), 0,
                         jnp.where(qc == tc, match, mismatch))
 
@@ -100,7 +140,7 @@ def banded_align_batch(queries: jax.Array, targets: jax.Array,
         Ht = jnp.maximum(diag, E)
         # F[k] = max_{u<k}(Ht[u] - oe - e*(k-1-u)) via prefix max
         A = Ht + e * karr
-        cm = jax.lax.associative_scan(jnp.maximum, A, axis=1)
+        cm = cummax(A)
         F = jnp.concatenate(
             [jnp.full((P, 1), NEG, dtype=jnp.int32), cm[:, :-1]], axis=1) \
             - oe - e * karr + e
@@ -120,16 +160,124 @@ def banded_align_batch(queries: jax.Array, targets: jax.Array,
         active = (i <= q_lens)[:, None]
         H = jnp.where(active, H, Hp)
         E = jnp.where(active, E, Ep)
-        return (H, E, lo_i), mv
+        return (H, E, tw, lo_i), mv
 
     steps = jnp.arange(1, nq_max + 1, dtype=jnp.int32)
-    (Hf, _Ef, lof), moves = jax.lax.scan(step, (H0, E0, lo0), steps)
+    (Hf, _Ef, _tw, lof), moves = jax.lax.scan(step, (H0, E0, tw0, lo0), steps)
     moves = jnp.transpose(moves, (1, 0, 2))                  # (P, nq_max, W)
 
     score = jnp.max(Hf, axis=1)
     k_end = jnp.argmax(Hf, axis=1).astype(jnp.int32)
     j_end = lof + k_end
     return score, j_end, moves
+
+
+OP_NONE, OP_DIAG, OP_INS, OP_DEL = 0, 1, 2, 3
+
+
+@partial(jax.jit, static_argnames=("band", "match", "mismatch",
+                                   "gap_open", "gap_ext"))
+def banded_align_trace_batch(queries: jax.Array, targets: jax.Array,
+                             q_lens: jax.Array, t_lens: jax.Array,
+                             band: int = 128, match: int = 5,
+                             mismatch: int = -4, gap_open: int = 4,
+                             gap_ext: int = 2):
+    """Forward DP + on-device traceback in one launch.
+
+    The (P, nq, W) move block never leaves the device: a second scan walks
+    the path backwards from (nq, j_end), emitting one op per step
+    (1=diag, 2=insertion, 3=deletion, 0=done).  H->E/F state switches are
+    folded into the same emitting step (the E/F move bits of the *current*
+    cell decide continuation), so the walk takes exactly
+    path_length <= nq + nt steps.
+
+    Returns (scores (P,), j_end (P,), j_start (P,), ops (P, nq_max+nt_max)
+    uint8 in walk order, i.e. from the path end backwards).
+    Host-side record building: native c3_ops_record / ops_to_record.
+    """
+    P, nq_max = queries.shape
+    _, nt_max = targets.shape
+    W = band
+    scores, j_end, moves = banded_align_batch(
+        queries, targets, q_lens, t_lens, band=band, match=match,
+        mismatch=mismatch, gap_open=gap_open, gap_ext=gap_ext)
+
+    q_lens = q_lens.astype(jnp.int32)
+    t_lens = t_lens.astype(jnp.int32)
+    hi = jnp.maximum(t_lens + 1 - W, 0)
+    moves_flat = moves.reshape(P, nq_max * W)
+    parr = jnp.arange(P, dtype=jnp.int32)
+
+    def lo_of(i):
+        i_eff = jnp.minimum(i, q_lens).astype(jnp.float32)
+        ctr = jnp.round(i_eff * t_lens.astype(jnp.float32) /
+                        jnp.maximum(q_lens, 1).astype(jnp.float32))
+        return jnp.clip(ctr.astype(jnp.int32) - W // 2, 0, hi)
+
+    def walk(carry, _):
+        i, j, st = carry
+        active = i > 0
+        k = j - lo_of(i)
+        flat = (jnp.clip(i - 1, 0, nq_max - 1)) * W + jnp.clip(k, 0, W - 1)
+        mv = moves_flat[parr, flat].astype(jnp.int32)
+        src = mv & 3
+        is_e = (st == 1) | ((st == 0) & (src == 1))
+        is_f = (st == 2) | ((st == 0) & (src == 2))
+        is_d = (st == 0) & (src == 0)
+        op = jnp.where(
+            active,
+            jnp.where(is_d, OP_DIAG,
+                      jnp.where(is_e, OP_INS, OP_DEL)),
+            OP_NONE).astype(jnp.uint8)
+        dec_i = active & (is_d | is_e)
+        dec_j = active & (is_d | is_f)
+        e_ext = (mv & 4) != 0
+        f_ext = (mv & 8) != 0
+        st_next = jnp.where(
+            is_e & e_ext, 1,
+            jnp.where(is_f & f_ext, 2, 0)).astype(jnp.int32)
+        st_next = jnp.where(active, st_next, st)
+        return (i - dec_i.astype(jnp.int32),
+                j - dec_j.astype(jnp.int32), st_next), op
+
+    init = (q_lens, j_end.astype(jnp.int32),
+            jnp.zeros(P, dtype=jnp.int32))
+    (i_f, j_f, _st), ops = jax.lax.scan(
+        walk, init, None, length=nq_max + nt_max)
+    ops = jnp.transpose(ops, (1, 0))
+    return scores, j_end, j_f, ops
+
+
+def ops_to_record(q: np.ndarray, t: np.ndarray, ops: np.ndarray,
+                  j_end: int):
+    """Python fallback: rebuild an AlignRecord from the walk ops."""
+    from ..ref.banded import AlignRecord
+
+    nq, nt = len(q), len(t)
+    cover = np.zeros(nt, dtype=np.int8)
+    base = np.full(nt, 4, dtype=np.int8)
+    qpos = np.full(nt, -1, dtype=np.int32)
+    ins_len = np.zeros(nt + 1, dtype=np.int32)
+    ins_qstart = np.full(nt + 1, -1, dtype=np.int32)
+    i, j = nq, int(j_end)
+    for op in ops:
+        if op == OP_NONE:
+            break
+        if op == OP_DIAG:
+            cover[j - 1] = 1
+            base[j - 1] = q[i - 1]
+            qpos[j - 1] = i - 1
+            i -= 1
+            j -= 1
+        elif op == OP_INS:
+            ins_len[j] += 1
+            ins_qstart[j] = i - 1
+            i -= 1
+        else:
+            cover[j - 1] = 2
+            j -= 1
+    return AlignRecord(cover, base, qpos, ins_len, ins_qstart, j, int(j_end),
+                       score=0)
 
 
 def traceback_banded(q: np.ndarray, t: np.ndarray, moves: np.ndarray,

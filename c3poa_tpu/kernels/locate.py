@@ -1,0 +1,62 @@
+"""Fused splint-locate kernel: profile -> combo select -> smooth -> peak
+candidates, one jitted launch per (B, C, L) bucket; the tiny
+distance-selection step finishes on the host (see kernels/peaks.py).
+
+Replaces, for a whole batch of reads, the reference's per-read BLAT
+preprocess (splint identity + strand, bin/preprocess.py), conk scoring
+(C3POa.py:123) and call_peaks (bin/call_peaks.py).  Only O(B) scalars and
+O(B * L/tile) candidate slots leave the device.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .peaks import peak_candidates_batch, select_peaks_host, tile_for_distance
+from .smooth import smooth3_batch
+from .sw_profile import start_profile_batch
+
+
+@partial(jax.jit, static_argnames=("tile",))
+def locate_device(reads: jax.Array, lens: jax.Array, splints: jax.Array,
+                  tile: int = 64):
+    """reads (B, L) int8 pad 4; lens (B,) int32; splints (C, m) int8 pad 4.
+
+    Returns (combo (B,) int32, best_score (B,) int32,
+             cand_pos (B, L/tile) int32, cand_h (B, L/tile) f32,
+             med (B,) f32)."""
+    prof = start_profile_batch(reads, splints)          # (B, C, L) int32
+    per_combo = jnp.max(prof, axis=2)                   # (B, C)
+    combo = jnp.argmax(per_combo, axis=1).astype(jnp.int32)
+    best_score = jnp.max(per_combo, axis=1)
+    chosen = jnp.take_along_axis(
+        prof, combo[:, None, None], axis=1)[:, 0, :]    # (B, L)
+    sm = smooth3_batch(chosen.astype(jnp.float32), lens)
+    cand_pos, cand_h, med, _height, _gated = peak_candidates_batch(
+        sm, lens, tile=tile)
+    return combo, best_score, cand_pos, cand_h, med
+
+
+def locate_batch(reads, lens, splints, min_dist, max_peaks: int = 128):
+    """Device locate + host distance selection, original array API:
+    returns (combo (B,), best_score (B,), peak_pos (B, K) int32 ascending
+    / L-padded, n_peaks (B,) int32)."""
+    B, L = np.shape(reads)
+    tile = tile_for_distance(int(min_dist))
+    combo, best_score, cand_pos, cand_h, _med = locate_device(
+        jnp.asarray(reads), jnp.asarray(lens), jnp.asarray(splints),
+        tile=tile)
+    peaks = select_peaks_host(np.asarray(cand_pos), np.asarray(cand_h),
+                              int(min_dist))
+    K = max_peaks
+    pos = np.full((B, K), L, dtype=np.int32)
+    n = np.zeros(B, dtype=np.int32)
+    for b, p in enumerate(peaks):
+        k = min(len(p), K)
+        pos[b, :k] = p[:k]
+        n[b] = k
+    return np.asarray(combo), np.asarray(best_score), pos, n

@@ -1,18 +1,21 @@
-"""Batched peak calling (device kernel).
+"""Batched peak calling (device kernel + tiny host-side final selection).
 
 scipy.signal.find_peaks(distance=, height=) with the reference's noise gates
 (bin/call_peaks.py:13-15), vectorised over a (B, L) block of smoothed
-profiles.  Semantics match ``ref/peaks.py`` (which is tested against scipy):
+profiles.  Semantics match ``ref/peaks.py`` (which is tested against scipy).
 
-- local maxima with plateau midpoints,
-- gate: no peaks when max < 6 * median (numpy median: mean of the two
-  middle order statistics over the *valid* region),
-- height threshold 3 * median,
-- distance selection in scipy's priority order (height desc, rightmost
-  first among equals), removing peaks strictly closer than ceil(distance).
-
-Peak counts per read are tiny (#repeats <= ~50), so candidates are reduced
-to the top ``K`` by height before the O(K^2) distance selection.
+TPU constraints shape the design: sort/top_k/gather/scatter on (B, L)
+blocks are extremely slow on this hardware, so
+- the median is computed by a 32-step bitwise order-statistic search
+  (count-reductions only),
+- local maxima (plateau-aware) are found with static-shift forward fills,
+- candidates are compacted by a per-tile (height, rightmost-position) max
+  reduction with tile size <= distance: two same-tile candidates are within
+  ``distance`` of each other, so scipy's selection would keep exactly the
+  higher (rightmost on ties) one anyway,
+- the O(#candidates) greedy distance selection runs on the host
+  (ref.peaks.select_by_distance — the exact scipy port), on a few hundred
+  bytes per read.
 """
 
 from __future__ import annotations
@@ -21,32 +24,75 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-BIG = jnp.int32(2 ** 30)
 NEG_F = jnp.float32(-3.0e38)
 
 
+def _pow2_at_most(n: int, lo: int = 1) -> int:
+    b = lo
+    while b * 2 <= n:
+        b *= 2
+    return b
+
+
+def tile_for_distance(min_dist: int, cap: int = 64) -> int:
+    return max(1, min(cap, _pow2_at_most(max(int(min_dist), 1))))
+
+
+def _sortable(x: jax.Array) -> jax.Array:
+    """Map float32 -> uint32 preserving order."""
+    b = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    return jnp.where(b >> 31 != 0, ~b, b | jnp.uint32(0x80000000))
+
+
+def _unsortable(k: jax.Array) -> jax.Array:
+    b = jnp.where(k >> 31 != 0, k & jnp.uint32(0x7FFFFFFF), ~k)
+    return jax.lax.bitcast_convert_type(b, jnp.float32)
+
+
+def _kth_smallest(keys: jax.Array, valid: jax.Array, k: jax.Array) -> jax.Array:
+    """Per-row k-th smallest (0-based) of uint32 keys via 32 bit steps.
+
+    fori_loop keeps the compiled program small (an unrolled version of the
+    32 (B, L) count-reductions compiles very slowly on this toolchain)."""
+    B, L = keys.shape
+
+    def body(t, v):
+        bit = jnp.uint32(31) - t.astype(jnp.uint32)
+        bound = v | (jnp.uint32(1) << bit)
+        below = (keys < bound[:, None]) & valid
+        cnt = jnp.sum(below, axis=1)
+        return jnp.where(cnt <= k, bound, v)
+
+    return jax.lax.fori_loop(0, 32, body, jnp.zeros((B,), dtype=jnp.uint32))
+
+
 def masked_median(x: jax.Array, lens: jax.Array) -> jax.Array:
-    """numpy-median over the first lens[b] entries of each row."""
+    """numpy-median over the first lens[b] entries of each row (no sort)."""
     B, L = x.shape
-    pad = jnp.where(jnp.arange(L)[None, :] < lens[:, None], x, jnp.inf)
-    s = jnp.sort(pad, axis=1)
-    lo = jnp.take_along_axis(s, ((lens - 1) // 2)[:, None], axis=1)
-    hi = jnp.take_along_axis(s, (lens // 2)[:, None], axis=1)
-    return ((lo + hi) * 0.5)[:, 0]
+    valid = jnp.arange(L, dtype=jnp.int32)[None, :] < lens[:, None]
+    keys = jnp.where(valid, _sortable(x.astype(jnp.float32)),
+                     jnp.uint32(0xFFFFFFFF))
+    k1 = ((lens - 1) // 2).astype(jnp.uint32)
+    k2 = (lens // 2).astype(jnp.uint32)
+    lo = _unsortable(_kth_smallest(keys, valid, k1))
+    hi = _unsortable(_kth_smallest(keys, valid, k2))
+    return (lo + hi) * 0.5
 
 
-@partial(jax.jit, static_argnames=("max_peaks",))
-def call_peaks_batch(smoothed: jax.Array, lens: jax.Array, min_dist: jax.Array,
-                     max_peaks: int = 128):
-    """smoothed: (B, L) f32 (zero beyond lens); lens: (B,) int32;
-    min_dist: scalar int32.
+@partial(jax.jit, static_argnames=("tile",))
+def peak_candidates_batch(smoothed: jax.Array, lens: jax.Array,
+                          tile: int = 64):
+    """Device stage: plateau-aware local maxima -> per-tile compaction.
 
-    Returns (positions (B, K) int32 ascending with L as padding,
-             n_peaks (B,) int32, median (B,) f32).
+    smoothed: (B, L) f32 (zero beyond lens); lens: (B,) int32.
+    Returns (cand_pos (B, L/tile) int32 plateau midpoints (-1 where none),
+             cand_h (B, L/tile) f32, med (B,) f32, height (B,) f32,
+             gated (B,) bool).
     """
     B, L = smoothed.shape
-    K = max_peaks
+    assert L % tile == 0
     lens = lens.astype(jnp.int32)
     x = smoothed.astype(jnp.float32)
     jidx = jnp.arange(L, dtype=jnp.int32)[None, :]
@@ -55,67 +101,80 @@ def call_peaks_batch(smoothed: jax.Array, lens: jax.Array, min_dist: jax.Array,
 
     med = masked_median(x, lens)
     xmax = jnp.max(xm, axis=1)
-    gated = xmax < 6.0 * med          # (B,) True -> no peaks
+    gated = xmax < 6.0 * med
     height = 3.0 * med
 
-    # ---- local maxima with plateau midpoints (scipy _local_maxima_1d) ----
-    # next-change index nc[j] = smallest k > j with x[k] != x[j]
-    diff_next = jnp.concatenate(
-        [xm[:, :-1] != xm[:, 1:], jnp.ones((B, 1), dtype=bool)], axis=1)
-    cand_idx = jnp.where(diff_next, jidx + 1, BIG)
-    nc = jax.lax.associative_scan(jnp.minimum, cand_idx, axis=1, reverse=True)
+    # local maxima: equal-value run [l, r] with strict rise into l and
+    # strict drop after r (scipy plateau semantics)
+    x_prev = jnp.concatenate([jnp.full((B, 1), NEG_F), xm[:, :-1]], axis=1)
+    x_next = jnp.concatenate([xm[:, 1:], jnp.full((B, 1), NEG_F)], axis=1)
+    is_start = xm != x_prev
+    rise_prev = xm > x_prev
+    drop_next = x_next < xm
+    packed = jnp.where(is_start, (jidx << 1) | rise_prev.astype(jnp.int32),
+                       -1)
+    d = 1
+    while d < L:
+        packed = jnp.maximum(
+            packed,
+            jnp.concatenate([jnp.full((B, d), -1, dtype=jnp.int32),
+                             packed[:, :-d]], axis=1))
+        d *= 2
+    l_run = packed >> 1
+    rise_at_l = (packed & 1) == 1
 
-    left_edge = jnp.concatenate(
-        [jnp.zeros((B, 1), dtype=bool), xm[:, 1:] > xm[:, :-1]], axis=1)
-    # value after the plateau must be strictly smaller and inside the array
-    i_ahead = nc
-    ahead_ok = i_ahead <= lens[:, None] - 1
-    x_ahead = jnp.take_along_axis(xm, jnp.minimum(i_ahead, L - 1), axis=1)
-    is_peak_edge = left_edge & ahead_ok & (x_ahead < xm)
-    midpoint = (jidx + i_ahead - 1) // 2
+    is_peak = rise_at_l & (l_run >= 1) & drop_next & \
+        (jidx <= lens[:, None] - 2)
+    ok = is_peak & (xm >= height[:, None]) & ~gated[:, None]
+    h = jnp.where(ok, xm, NEG_F)
+    midpoint = (l_run + jidx) // 2
 
-    # scatter peak heights onto midpoints
-    scatter_to = jnp.where(is_peak_edge, midpoint, L - 1)
-    peak_mask = jnp.zeros((B, L), dtype=bool)
-    peak_mask = peak_mask.at[
-        jnp.arange(B)[:, None], scatter_to].max(is_peak_edge)
+    # per-tile (max height, rightmost position among equal max) reduction
+    M = L // tile
+    h_t = h.reshape(B, M, tile)
+    hmax = jnp.max(h_t, axis=2)
+    mid_t = jnp.where(ok, midpoint, -1).reshape(B, M, tile)
+    pos_sel = jnp.max(
+        jnp.where(h_t == hmax[:, :, None], mid_t, -1), axis=2)
+    cand_pos = jnp.where(hmax > NEG_F / 2, pos_sel, -1)
+    return cand_pos, hmax, med, height, gated
 
-    ok = peak_mask & (xm >= height[:, None]) & ~gated[:, None]
-    cand_scores = jnp.where(ok, xm, NEG_F)
 
-    # ---- top-K candidates by height ----
-    vals, pos = jax.lax.top_k(cand_scores, K)       # (B, K), height desc
-    alive = vals > NEG_F / 2
+def select_peaks_host(cand_pos: np.ndarray, cand_h: np.ndarray,
+                      min_dist: int):
+    """Host stage: exact scipy distance selection per read.
 
-    # scipy priority: height desc, then larger position first.
-    # top_k gives height desc with smaller position first on ties -> reorder
-    # ties by sorting on (-height, -position) lexicographically.
-    orderkey = (-vals, -pos.astype(jnp.float32))
-    perm = jnp.lexsort(orderkey[::-1], axis=1) if hasattr(jnp, "lexsort") else None
-    if perm is None:  # fallback: stable double argsort
-        perm = jnp.argsort(-pos, axis=1, stable=True)
-        perm = jnp.take_along_axis(
-            perm, jnp.argsort(jnp.take_along_axis(-vals, perm, axis=1),
-                              axis=1, stable=True), axis=1)
-    vals = jnp.take_along_axis(vals, perm, axis=1)
-    pos = jnp.take_along_axis(pos, perm, axis=1)
-    alive = jnp.take_along_axis(alive, perm, axis=1)
+    Returns a list of int64 arrays (ascending peak positions)."""
+    from ..ref.peaks import select_by_distance
 
-    # ---- greedy distance selection in priority order ----
-    dist = jnp.ceil(min_dist).astype(jnp.int32)
+    out = []
+    for b in range(cand_pos.shape[0]):
+        sel = cand_pos[b] >= 0
+        pos = cand_pos[b][sel].astype(np.int64)
+        h = cand_h[b][sel].astype(np.float64)
+        if len(pos) == 0:
+            out.append(np.zeros(0, dtype=np.int64))
+            continue
+        keep = select_by_distance(pos, h, min_dist)
+        out.append(pos[keep])
+    return out
 
-    def body(k, keep):
-        p_k = pos[:, k]                       # (B,)
-        active = keep[:, k] & alive[:, k]
-        too_close = (jnp.abs(pos - p_k[:, None]) < dist) & \
-            (jnp.arange(K)[None, :] != k)
-        return jnp.where(active[:, None], keep & ~too_close, keep)
 
-    keep = jax.lax.fori_loop(0, K, body, jnp.ones((B, K), dtype=bool))
-    keep = keep & alive
-
-    # ---- emit positions ascending, padded with L ----
-    out_pos = jnp.where(keep, pos, L)
-    out_pos = jnp.sort(out_pos, axis=1)
-    n = jnp.sum(keep, axis=1).astype(jnp.int32)
-    return out_pos.astype(jnp.int32), n, med
+def call_peaks_batch(smoothed, lens, min_dist, max_peaks: int = 128):
+    """Convenience wrapper (device candidates + host selection) with the
+    original API: returns (positions (B, K) int32 ascending / L-padded,
+    n_peaks (B,) int32, med (B,) f32)."""
+    B, L = smoothed.shape
+    tile = tile_for_distance(int(min_dist))
+    cand_pos, cand_h, med, _height, _gated = peak_candidates_batch(
+        jnp.asarray(smoothed), jnp.asarray(lens), tile=tile)
+    peaks = select_peaks_host(np.asarray(cand_pos), np.asarray(cand_h),
+                              int(min_dist))
+    K = max_peaks
+    pos = np.full((B, K), L, dtype=np.int32)
+    n = np.zeros(B, dtype=np.int32)
+    for b, p in enumerate(peaks):
+        k = min(len(p), K)
+        pos[b, :k] = p[:k]
+        n[b] = k
+    return pos, n, np.asarray(med)

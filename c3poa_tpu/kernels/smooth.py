@@ -38,23 +38,25 @@ def smooth3_batch(scores: jax.Array, lens: jax.Array, window: int = 41,
 
     x = scores.astype(jnp.float32)
     lens = lens.astype(jnp.int32)
-    jidx = jnp.arange(L + 2 * half, dtype=jnp.int32)[None, :] - half  # (1, Lext)
+    B_idx = jnp.arange(B, dtype=jnp.int32)[:, None]
     n = lens[:, None]
-
+    oarr = jnp.arange(half, dtype=jnp.int32)[None, :]        # (1, half)
     valid_mask = (jnp.arange(L, dtype=jnp.int32)[None, :] < n)
 
     for _ in range(iters):
-        # build the reference's edge-padded signal via gathers
-        head_idx = -jidx                     # y[half-j'] reflect: k -> -k
-        tail_idx = 2 * (n - 1) - jidx        # y[2n-2-k]
-        src = jnp.where(jidx < 0, head_idx, jnp.where(jidx >= n, tail_idx, jidx))
-        src = jnp.clip(src, 0, L - 1)
-        ext = jnp.take_along_axis(x, src, axis=1)
         y0 = x[:, :1]
         yn = jnp.take_along_axis(x, jnp.maximum(n - 1, 0), axis=1)
-        head_val = y0 - jnp.abs(ext - y0)
-        tail_val = yn + jnp.abs(ext - yn)
-        ext = jnp.where(jidx < 0, head_val, jnp.where(jidx >= n, tail_val, ext))
+        # head pad (static): ext[-k] = y0 - |y[k] - y0|, k = half..1
+        head = y0 - jnp.abs(x[:, 1:half + 1][:, ::-1] - y0)
+        # tail pad values (small (B, half) gather): y[n-2-o] for o=0..half-1
+        tail_src = jnp.take_along_axis(
+            x, jnp.clip(n - 2 - oarr, 0, L - 1), axis=1)
+        tail = yn + jnp.abs(tail_src - yn)
+        # assemble ext: [head | x | zeros(half)], then scatter the tail pad
+        # at per-row positions n+half+o (small (B, half) scatter)
+        ext = jnp.concatenate(
+            [head, x, jnp.zeros((B, half), dtype=x.dtype)], axis=1)
+        ext = ext.at[B_idx, n + half + oarr].set(tail, mode="drop")
         out = jnp.zeros_like(x)
         for k in range(window):
             out = out + m[k] * jax.lax.dynamic_slice_in_dim(ext, k, L, axis=1)

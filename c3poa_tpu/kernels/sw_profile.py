@@ -66,9 +66,16 @@ def start_profile_batch(reads: jax.Array, splints: jax.Array,
         T = jnp.maximum(jnp.maximum(diag, up), 0)
         # reverse running max handles G[i][j+1] - gap runs exactly:
         # G[j] = max_{k>=j} (T[k] - gap*(k-j)) = revcummax(T - gap*k)[j] + gap*j
+        # (manual doubling with static shifts — associative_scan lowers to
+        # slower code on TPU)
         A = T - jarr[None, None, :]
-        cm = jax.lax.associative_scan(jnp.maximum, A, axis=2, reverse=True)
-        Gnew = cm + jarr[None, None, :]
+        d = 1
+        while d < L:
+            A = jnp.maximum(
+                A, jnp.pad(A[:, :, d:], ((0, 0), (0, 0), (0, d)),
+                           constant_values=NEG))
+            d *= 2
+        Gnew = A + jarr[None, None, :]
         colmax = jnp.maximum(colmax, Gnew)
         return (Gnew, colmax), None
 

@@ -1,0 +1,212 @@
+"""ctypes bindings for the native host library (native/libc3poa_native.so).
+
+Provides C fast paths for the host-side hot loops — traceback, indel
+normalization, consensus voting, fastx parsing — with automatic fallback to
+the pure-Python implementations when the library is absent (`make -C
+native` builds it).  Parity between both paths is enforced by tests.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+
+import numpy as np
+
+_LIB = None
+_TRIED = False
+
+
+def _find_lib():
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cands = [
+        os.path.join(here, "native", "libc3poa_native.so"),
+        os.path.join(os.path.dirname(__file__), "libc3poa_native.so"),
+    ]
+    for c in cands:
+        if os.path.exists(c):
+            return c
+    return None
+
+
+def get_lib():
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    path = _find_lib()
+    if path is None:
+        return None
+    try:
+        lib = ctypes.CDLL(path)
+    except OSError:
+        return None
+
+    i8p = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
+    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    i32, i64 = ctypes.c_int32, ctypes.c_int64
+
+    lib.c3_traceback.restype = i32
+    lib.c3_traceback.argtypes = [
+        u8p, i32, i32, i8p, i32, i32, i32,
+        i8p, i8p, i32p, i32p, i32p,
+    ]
+    lib.c3_normalize.restype = None
+    lib.c3_normalize.argtypes = [i8p, i8p, i32, i8p, i8p, i32p, i32p, i32p]
+    lib.c3_ops_record.restype = i32
+    lib.c3_ops_record.argtypes = [
+        u8p, i32, i8p, i32, i32, i32,
+        i8p, i8p, i32p, i32p, i32p,
+    ]
+    lib.c3_vote.restype = i32
+    lib.c3_vote.argtypes = [
+        i32, i32, i8p, i8p, i32p, i32p, i32p, i32p,
+        i8p, i8p, i64p, i32, i8p, i8p, i32,
+    ]
+    lib.c3_parse_fastq.restype = i64
+    lib.c3_parse_fastq.argtypes = [u8p, i64, i8p, i8p, i64, i64p, i64p, i64]
+    lib.c3_parse_fasta.restype = i64
+    lib.c3_parse_fasta.argtypes = [u8p, i64, i8p, i64, i64p, i64p, i64]
+    lib.c3_decode.restype = None
+    lib.c3_decode.argtypes = [i8p, i64, u8p]
+    _LIB = lib
+    return _LIB
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+# ---------------- traceback + normalize ----------------
+
+def traceback_normalize(q: np.ndarray, t: np.ndarray, moves: np.ndarray,
+                        j_end: int, band: int):
+    """C fast path for kernels.banded.traceback_banded + ref.normalize_record.
+
+    Returns an AlignRecord (already normalized), or None if the native
+    library is unavailable.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    from .ref.banded import AlignRecord
+
+    q = np.ascontiguousarray(q, dtype=np.int8)
+    t = np.ascontiguousarray(t, dtype=np.int8)
+    moves = np.ascontiguousarray(moves, dtype=np.uint8)
+    nq, nt = len(q), len(t)
+    cover = np.zeros(nt, dtype=np.int8)
+    base = np.zeros(nt, dtype=np.int8)
+    qpos = np.zeros(nt, dtype=np.int32)
+    ins_len = np.zeros(nt + 1, dtype=np.int32)
+    ins_qstart = np.zeros(nt + 1, dtype=np.int32)
+    j_start = lib.c3_traceback(
+        moves, moves.shape[0], band, q, nq, nt, int(j_end),
+        cover, base, qpos, ins_len, ins_qstart)
+    lib.c3_normalize(q, t, nt, cover, base, qpos, ins_len, ins_qstart)
+    return AlignRecord(cover, base, qpos, ins_len, ins_qstart,
+                       int(j_start), int(j_end), 0)
+
+
+def ops_record_normalize(q: np.ndarray, t: np.ndarray, ops: np.ndarray,
+                         j_end: int):
+    """C fast path: record from device-traceback ops + normalization.
+    Returns an AlignRecord or None if the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    from .ref.banded import AlignRecord
+
+    q = np.ascontiguousarray(q, dtype=np.int8)
+    t = np.ascontiguousarray(t, dtype=np.int8)
+    ops = np.ascontiguousarray(ops, dtype=np.uint8)
+    nq, nt = len(q), len(t)
+    cover = np.zeros(nt, dtype=np.int8)
+    base = np.zeros(nt, dtype=np.int8)
+    qpos = np.zeros(nt, dtype=np.int32)
+    ins_len = np.zeros(nt + 1, dtype=np.int32)
+    ins_qstart = np.zeros(nt + 1, dtype=np.int32)
+    j_start = lib.c3_ops_record(ops, len(ops), q, nq, nt, int(j_end),
+                                cover, base, qpos, ins_len, ins_qstart)
+    lib.c3_normalize(q, t, nt, cover, base, qpos, ins_len, ins_qstart)
+    return AlignRecord(cover, base, qpos, ins_len, ins_qstart,
+                       int(j_start), int(j_end), 0)
+
+
+# ---------------- voting ----------------
+
+def vote_consensus_c(nt: int, alns, qmin: int = 5):
+    """C fast path for consensus.vote.vote_consensus.  Returns
+    (codes, quals) or None if unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    N = len(alns)
+    cover = np.empty((N, nt), dtype=np.int8)
+    base = np.empty((N, nt), dtype=np.int8)
+    qpos = np.empty((N, nt), dtype=np.int32)
+    ins_len = np.empty((N, nt + 1), dtype=np.int32)
+    ins_qstart = np.empty((N, nt + 1), dtype=np.int32)
+    j_span = np.empty((N, 2), dtype=np.int32)
+    q_off = np.zeros(N + 1, dtype=np.int64)
+    qs_list, ql_list = [], []
+    for a, (rec, query, qual) in enumerate(alns):
+        cover[a] = rec.cover
+        base[a] = rec.base
+        qpos[a] = rec.qpos
+        ins_len[a] = rec.ins_len
+        ins_qstart[a] = rec.ins_qstart
+        j_span[a] = rec.j_start, rec.j_end
+        qs_list.append(np.asarray(query, dtype=np.int8))
+        ql_list.append(np.asarray(qual, dtype=np.int8))
+        q_off[a + 1] = q_off[a] + len(qs_list[-1])
+    queries = np.concatenate(qs_list) if qs_list else np.zeros(0, np.int8)
+    quals = np.concatenate(ql_list) if ql_list else np.zeros(0, np.int8)
+    queries = np.ascontiguousarray(queries, dtype=np.int8)
+    quals = np.ascontiguousarray(quals, dtype=np.int8)
+
+    cap = 2 * nt + 64
+    out_codes = np.empty(cap, dtype=np.int8)
+    out_quals = np.empty(cap, dtype=np.int8)
+    n = lib.c3_vote(N, nt, cover, base, qpos, ins_len, ins_qstart,
+                    j_span.reshape(-1), queries, quals, q_off, qmin,
+                    out_codes, out_quals, cap)
+    while n == -1:
+        cap *= 4
+        out_codes = np.empty(cap, dtype=np.int8)
+        out_quals = np.empty(cap, dtype=np.int8)
+        n = lib.c3_vote(N, nt, cover, base, qpos, ins_len, ins_qstart,
+                        j_span.reshape(-1), queries, quals, q_off, qmin,
+                        out_codes, out_quals, cap)
+    return out_codes[:n].copy(), out_quals[:n].copy()
+
+
+# ---------------- fastx ----------------
+
+def parse_fastq_bytes(data: bytes):
+    """Parse a FASTQ buffer -> (names list[str], seq_arena int8,
+    qual_arena int8, offsets int64).  None if unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    buf = np.frombuffer(data, dtype=np.uint8)
+    n = len(buf)
+    arena_cap = n
+    rec_cap = max(16, n // 64)
+    while True:
+        seq_arena = np.empty(arena_cap, dtype=np.int8)
+        qual_arena = np.empty(arena_cap, dtype=np.int8)
+        name_span = np.empty(2 * rec_cap, dtype=np.int64)
+        offs = np.empty(rec_cap + 1, dtype=np.int64)
+        r = lib.c3_parse_fastq(buf, n, seq_arena, qual_arena, arena_cap,
+                               name_span, offs, rec_cap)
+        if r == -2:
+            rec_cap *= 4
+            continue
+        if r < 0:
+            raise ValueError("malformed FASTQ")
+        names = [data[name_span[2 * i]:name_span[2 * i + 1]].decode("ascii")
+                 for i in range(r)]
+        return names, seq_arena, qual_arena, offs[:r + 1]

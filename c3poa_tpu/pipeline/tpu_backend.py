@@ -1,0 +1,190 @@
+"""TPU compute backend: length-bucketed batched kernel launches.
+
+Replaces the reference's per-read native calls (conk, BLAT, abPOA inner
+alignments, racon) with a handful of compiled kernel shapes:
+
+- ``locate_many``: reads are bucketed by padded length (powers of two) and
+  batched through the fused locate kernel (``kernels/locate.py``); only
+  combo ids, scores and peak indices return to the host.
+- ``align_many``: (query, target) pairs are bucketed by padded
+  (nq, nt) and batched through the banded aligner
+  (``kernels/banded.py``); move blocks come back for host traceback +
+  indel normalization (C fast path in native/, numpy fallback here).
+
+Bucket shapes are fixed (padded batch sizes) so each (B, C, L) / (P, nq, nt)
+combination compiles exactly once per process.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from .. import native
+from ..consensus.engine import ConsensusParams
+from ..consensus.vote import SubreadAln
+from ..kernels.banded import SMAX, banded_align_trace_batch, ops_to_record
+from ..kernels.locate import locate_batch
+from ..ref.banded import normalize_record
+from .backend import Combo, LocateResult
+
+# read-length buckets (L); reads longer than the last bucket are truncated
+# for locating (splint peaks beyond 128k are beyond any real R2C2 read).
+# Few, coarse buckets: padded profile work is cheap, compiled shapes are not.
+LEN_BUCKETS = (8192, 32768, 131072)
+# device state budget for the locate kernel: B*C*L int32 elements
+LOCATE_BUDGET = 64 << 20
+# move-block budget for the aligner: P*nq*W bytes
+ALIGN_BUDGET = 256 << 20
+
+
+def _bucket_len(n: int) -> int:
+    for b in LEN_BUCKETS:
+        if n <= b:
+            return b
+    return LEN_BUCKETS[-1]
+
+
+def _pow2_at_least(n: int, lo: int = 128) -> int:
+    b = lo
+    while b < n:
+        b *= 2
+    return b
+
+
+def _pow2_at_most(n: int, lo: int = 8) -> int:
+    b = lo
+    while b * 2 <= n:
+        b *= 2
+    return b
+
+
+# Batch-size ladder: only these sizes are ever compiled (shapes are padded
+# up), keeping the number of distinct compiled programs per bucket tiny.
+_P_LADDER = (8, 64, 512)
+
+
+def _batch_size(n_items: int, budget_items: int) -> int:
+    """Compile-once batch size from a small fixed ladder, within budget."""
+    cap = _pow2_at_most(max(budget_items, _P_LADDER[0]), _P_LADDER[0])
+    for s in _P_LADDER:
+        if s >= n_items:
+            return min(s, cap)
+    return min(_P_LADDER[-1], cap)
+
+
+class TpuBackend:
+    def __init__(self, band: int | None = None, max_peaks: int = 128):
+        import jax  # fail early if jax is unusable
+
+        # persistent compilation cache: bucket shapes compile once per
+        # machine, not once per process
+        try:
+            cache_dir = os.environ.get(
+                "C3POA_JAX_CACHE", os.path.expanduser("~/.cache/c3poa_jax"))
+            os.makedirs(cache_dir, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        except Exception:
+            pass
+        self.max_peaks = max_peaks
+        self._splint_cache: dict = {}
+
+    # ---------------- locate ----------------
+
+    def _splint_array(self, combos) -> np.ndarray:
+        key = tuple(id(c.codes) for c in combos)
+        if key not in self._splint_cache:
+            m = _pow2_at_least(max(len(c.codes) for c in combos), 64)
+            S = np.full((len(combos), m), 4, dtype=np.int8)
+            for i, c in enumerate(combos):
+                S[i, :len(c.codes)] = c.codes
+            self._splint_cache[key] = S
+        return self._splint_cache[key]
+
+    def locate_many(self, reads, combos, min_dist) -> list[LocateResult]:
+        S = self._splint_array(combos)
+        C = len(combos)
+        out: list = [None] * len(reads)
+
+        by_bucket: dict[int, list[int]] = {}
+        for i, codes in enumerate(reads):
+            by_bucket.setdefault(_bucket_len(len(codes)), []).append(i)
+
+        for L, idxs in sorted(by_bucket.items()):
+            B = _batch_size(len(idxs), LOCATE_BUDGET // (C * L))
+            for start in range(0, len(idxs), B):
+                chunk = idxs[start:start + B]
+                R = np.full((B, L), 4, dtype=np.int8)
+                lens = np.full(B, 64, dtype=np.int32)  # dummy rows: tiny+empty
+                for r, i in enumerate(chunk):
+                    codes = reads[i][:L]
+                    R[r, :len(codes)] = codes
+                    lens[r] = len(codes)
+                combo, score, pos, n = locate_batch(
+                    R, lens, S, np.int32(min_dist), max_peaks=self.max_peaks)
+                combo, score = np.asarray(combo), np.asarray(score)
+                pos, n = np.asarray(pos), np.asarray(n)
+                for r, i in enumerate(chunk):
+                    out[i] = LocateResult(
+                        int(combo[r]), int(score[r]),
+                        pos[r, :n[r]].astype(np.int64))
+        return out
+
+    # ---------------- align ----------------
+
+    def align_many(self, pairs, params: ConsensusParams) -> list[SubreadAln]:
+        W = params.band
+        out: list = [None] * len(pairs)
+
+        serial: list[int] = []
+        by_bucket: dict[tuple, list[int]] = {}
+        for i, (q, _qual, t) in enumerate(pairs):
+            if len(t) > (SMAX - 1) * len(q) + 1:
+                # extreme length mismatch: the banded kernel's shift ladder
+                # (SMAX) cannot track the interpolated diagonal — rare, use
+                # the host aligner
+                serial.append(i)
+                continue
+            # one bucket dimension (max of both sides): fewer compiled
+            # shapes and fuller batches beat the extra padding
+            m = _pow2_at_least(max(len(q), len(t)))
+            by_bucket.setdefault((m, m), []).append(i)
+        if serial:
+            from ..consensus.engine import serial_align_many
+            res = serial_align_many([pairs[i] for i in serial], params)
+            for i, r in zip(serial, res):
+                out[i] = r
+
+        for (nq, nt), idxs in sorted(by_bucket.items()):
+            P = _batch_size(len(idxs), ALIGN_BUDGET // (nq * W))
+            for start in range(0, len(idxs), P):
+                chunk = idxs[start:start + P]
+                Q = np.full((P, nq), 4, dtype=np.int8)
+                T = np.full((P, nt), 4, dtype=np.int8)
+                ql = np.ones(P, dtype=np.int32)
+                tl = np.ones(P, dtype=np.int32)
+                for r, i in enumerate(chunk):
+                    q, _qual, t = pairs[i]
+                    Q[r, :len(q)] = q
+                    T[r, :len(t)] = t
+                    ql[r], tl[r] = len(q), len(t)
+                scores, j_ends, j_starts, ops = banded_align_trace_batch(
+                    Q, T, ql, tl, band=W, match=params.match,
+                    mismatch=params.mismatch, gap_open=params.gap_open,
+                    gap_ext=params.gap_ext)
+                scores = np.asarray(scores)
+                j_ends = np.asarray(j_ends)
+                ops = np.asarray(ops)  # (P, nq+nt) uint8 — small transfer
+                for r, i in enumerate(chunk):
+                    q, qual, t = pairs[i]
+                    rec = native.ops_record_normalize(
+                        q, t, ops[r], int(j_ends[r]))
+                    if rec is None:  # no native lib: python fallback
+                        rec = ops_to_record(q, t, ops[r], int(j_ends[r]))
+                        rec = normalize_record(rec, q, t)
+                    rec = rec._replace(score=int(scores[r]))
+                    out[i] = SubreadAln(rec, np.asarray(q, dtype=np.int8),
+                                        np.asarray(qual, dtype=np.int8))
+        return out

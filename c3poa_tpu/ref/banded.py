@@ -208,6 +208,25 @@ def traceback(q, t, moves, j_end) -> AlignRecord:
                        score=0)
 
 
+def embed_record(rec: AlignRecord, offset: int, full_nt: int) -> AlignRecord:
+    """Re-express a record aligned against target[offset:offset+nt_win]
+    in full-target coordinates (used when a short fragment is aligned
+    against an anchored window of the draft)."""
+    nt_win = len(rec.cover)
+    cover = np.zeros(full_nt, dtype=np.int8)
+    base = np.full(full_nt, 4, dtype=np.int8)
+    qpos = np.full(full_nt, -1, dtype=np.int32)
+    ins_len = np.zeros(full_nt + 1, dtype=np.int32)
+    ins_qstart = np.full(full_nt + 1, -1, dtype=np.int32)
+    cover[offset:offset + nt_win] = rec.cover
+    base[offset:offset + nt_win] = rec.base
+    qpos[offset:offset + nt_win] = rec.qpos
+    ins_len[offset:offset + nt_win + 1] = rec.ins_len
+    ins_qstart[offset:offset + nt_win + 1] = rec.ins_qstart
+    return AlignRecord(cover, base, qpos, ins_len, ins_qstart,
+                       rec.j_start + offset, rec.j_end + offset, rec.score)
+
+
 def normalize_record(rec: AlignRecord, q, t) -> AlignRecord:
     """Left-normalize indels within homopolymer runs (canonical gap placement).
 

@@ -79,3 +79,47 @@ def test_banded_kernel_length_mismatch_uses_band_path():
         if j < len(te) and rec.cover[j] == 1:
             out.append(rec.qpos[j])
     np.testing.assert_array_equal(np.array(out), np.arange(len(qe)))
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_device_traceback_ops_match_moves_path(seed):
+    from c3poa_tpu.kernels.banded import banded_align_trace_batch, ops_to_record
+    from c3poa_tpu.ref.banded import normalize_record
+
+    rng = np.random.default_rng(seed + 200)
+    pairs = []
+    for _ in range(4):
+        n = int(rng.integers(150, 400))
+        t = sim.random_seq(rng, n)
+        q = sim.mutate(rng, t, 0.05, 0.025, 0.025)
+        pairs.append((encode(q), encode(t)))
+    nq_max = max(len(q) for q, _ in pairs)
+    nt_max = max(len(t) for _, t in pairs)
+    Q = np.stack([pad_to(q, nq_max) for q, _ in pairs])
+    T = np.stack([pad_to(t, nt_max) for _, t in pairs])
+    ql = np.array([len(q) for q, _ in pairs], dtype=np.int32)
+    tl = np.array([len(t) for _, t in pairs], dtype=np.int32)
+    W = 64
+
+    s1, je1, moves = banded_align_batch(Q, T, ql, tl, band=W)
+    s2, je2, js2, ops = banded_align_trace_batch(Q, T, ql, tl, band=W)
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+    np.testing.assert_array_equal(np.asarray(je1), np.asarray(je2))
+    moves, ops = np.asarray(moves), np.asarray(ops)
+    je, js = np.asarray(je2), np.asarray(js2)
+    for p, (q, t) in enumerate(pairs):
+        via_moves = traceback_banded(q, t, moves[p], int(je[p]), W)
+        via_ops = ops_to_record(q, t, ops[p], int(je[p]))
+        for a, b, name in zip(via_ops[:5], via_moves[:5],
+                              ["cover", "base", "qpos", "ins_len", "ins_qstart"]):
+            np.testing.assert_array_equal(a, b, err_msg=f"pair {p} {name}")
+        assert via_ops.j_start == via_moves.j_start == int(js[p])
+        # native C op walker parity
+        from c3poa_tpu import native
+        if native.available():
+            c_rec = native.ops_record_normalize(q, t, ops[p], int(je[p]))
+            py_rec = normalize_record(via_ops, q, t)
+            for a, b, name in zip(c_rec[:5], py_rec[:5],
+                                  ["cover", "base", "qpos", "ins_len",
+                                   "ins_qstart"]):
+                np.testing.assert_array_equal(a, b, err_msg=f"native {p} {name}")

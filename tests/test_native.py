@@ -1,0 +1,70 @@
+"""Parity tests: C fast paths vs the pure-Python implementations."""
+
+import numpy as np
+import pytest
+
+from c3poa_tpu import native, sim
+from c3poa_tpu.consensus.engine import ConsensusParams, serial_align_many
+from c3poa_tpu.consensus.vote import record_for_draft, vote_consensus
+from c3poa_tpu.kernels.banded import banded_align_batch, traceback_banded
+from c3poa_tpu.ref import banded as ref_banded
+from c3poa_tpu.utils import encode
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native library not built")
+
+
+def pad_to(arr, n, fill=4):
+    out = np.full(n, fill, dtype=np.int8)
+    out[:len(arr)] = arr
+    return out
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_native_traceback_matches_python(seed):
+    rng = np.random.default_rng(seed)
+    t = encode(sim.random_seq(rng, 300))
+    q = encode(sim.mutate(rng, "".join("ACGTN"[c] for c in t), 0.05, 0.02, 0.02))
+    W = 64
+    s, je, mv = banded_align_batch(
+        q[None, :], t[None, :], np.array([len(q)], np.int32),
+        np.array([len(t)], np.int32), band=W)
+    mv = np.asarray(mv)[0]
+    je = int(np.asarray(je)[0])
+
+    py = traceback_banded(q, t, mv, je, W)
+    py = ref_banded.normalize_record(py, q, t)
+    c = native.traceback_normalize(q, t, mv, je, W)
+    for a, b, name in zip(c[:5], py[:5],
+                          ["cover", "base", "qpos", "ins_len", "ins_qstart"]):
+        np.testing.assert_array_equal(a, b, err_msg=name)
+    assert c.j_start == py.j_start
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_native_vote_matches_python(seed):
+    rng = np.random.default_rng(seed + 50)
+    truth = sim.random_seq(rng, 400)
+    draft = encode(sim.mutate(rng, truth, 0.03, 0.015, 0.015))
+    dq = rng.integers(3, 40, len(draft)).astype(np.int8)
+    p = ConsensusParams()
+    pairs = []
+    for _ in range(5):
+        s = encode(sim.mutate(rng, truth, 0.04, 0.02, 0.02))
+        pairs.append((s, rng.integers(3, 40, len(s)).astype(np.int8), draft))
+    alns = [record_for_draft(draft, dq)] + serial_align_many(pairs, p)
+    want = vote_consensus(len(draft), alns, qmin=5, use_native=False)
+    got = native.vote_consensus_c(len(draft), alns, qmin=5)
+    np.testing.assert_array_equal(got[0], want[0])
+    np.testing.assert_array_equal(got[1], want[1])
+
+
+def test_native_fastq_parse():
+    data = b"@read1 comment\nACGTN\n+\nIIIII\n@read2\nacgt\n+\n!!!!\n"
+    res = native.parse_fastq_bytes(data)
+    names, seqs, quals, offs = res
+    assert names == ["read1", "read2"]
+    np.testing.assert_array_equal(seqs[offs[0]:offs[1]], [0, 1, 2, 3, 4])
+    np.testing.assert_array_equal(seqs[offs[1]:offs[2]], [0, 1, 2, 3])
+    np.testing.assert_array_equal(quals[offs[0]:offs[1]], [40] * 5)
+    np.testing.assert_array_equal(quals[offs[1]:offs[2]], [0] * 4)

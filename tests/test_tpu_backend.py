@@ -1,0 +1,47 @@
+"""Backend parity: the TPU (kernel) backend must reproduce the numpy
+backend's pipeline output bit-for-bit (same profiles, peaks, alignments,
+votes -> same FASTA/FASTQ bytes)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from c3poa_tpu import sim
+from c3poa_tpu.pipeline.backend import NumpyBackend
+from c3poa_tpu.pipeline.run import PipelineConfig, run_pipeline
+from c3poa_tpu.pipeline.tpu_backend import TpuBackend
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    d = tmp_path_factory.mktemp("bp")
+    reads, splints = sim.make_dataset(
+        n_reads=8, seed=21, insert_len=(600, 800), copies=(2, 5), error=0.05)
+    sim.write_fastq(str(d / "reads.fastq"), reads)
+    sim.write_fasta(str(d / "splint.fasta"), splints)
+    return d, reads, splints
+
+
+def run_with(backend, d, tag):
+    out = str(d / f"out_{tag}")
+    stats = run_pipeline(str(d / "reads.fastq"), str(d / "splint.fasta"),
+                         out, PipelineConfig(), backend)
+    return out, stats
+
+
+def test_backend_parity(dataset):
+    d, reads, splints = dataset
+    out_np, stats_np = run_with(NumpyBackend(), d, "numpy")
+    out_tpu, stats_tpu = run_with(TpuBackend(), d, "tpu")
+
+    assert stats_np.consensus_written == stats_tpu.consensus_written
+    assert stats_np.no_splint == stats_tpu.no_splint
+
+    for fname in ("R2C2_Consensus.fasta", "R2C2_Subreads.fastq"):
+        a = open(os.path.join(out_np, "Splint1", fname)).read()
+        b = open(os.path.join(out_tpu, "Splint1", fname)).read()
+        assert a == b, f"{fname} differs between backends"
+    log_a = open(os.path.join(out_np, "c3poa.log")).read()
+    log_b = open(os.path.join(out_tpu, "c3poa.log")).read()
+    assert log_a == log_b
