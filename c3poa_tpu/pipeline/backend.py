@@ -60,3 +60,32 @@ class NumpyBackend:
 
     def align_many(self, pairs, params: ConsensusParams):
         return serial_align_many(pairs, params)
+
+    # Adapter scoring is stricter than the splint profile's +-1: BLAT's
+    # tile seeds only fire on near-exact matches (tileSize=6, oneOff=1),
+    # so sloppy chance alignments must not reach the matches>10 threshold.
+    ADAPTER_SCORING = (1, -3, 3)  # match, mismatch, gap penalty
+
+    def adapter_hits(self, reads, combo_codes, combo_lens):
+        """Best-two local hits with coords per (read, adapter combo).
+
+        Returns six (B, C) arrays (s1, j1, qe1, ts1, qs1, s2) with the same
+        semantics as kernels.adapters.adapter_hits_batch."""
+        B, C = len(reads), len(combo_codes)
+        mt, mm, gp = self.ADAPTER_SCORING
+        out = [np.zeros((B, C), dtype=np.int64) for _ in range(6)]
+        for b, codes in enumerate(reads):
+            for c, (acodes, alen) in enumerate(zip(combo_codes, combo_lens)):
+                colmax, qend, tstart, qstart = ref_sw.local_hits(
+                    acodes, codes, mt, mm, gp)
+                j1 = int(np.argmax(colmax))
+                s1 = int(colmax[j1])
+                jj = np.arange(len(colmax))
+                masked = np.where(np.abs(jj - j1) <= 2 * alen,
+                                  -(2 ** 30), colmax)
+                s2 = int(masked.max(initial=-(2 ** 30)))
+                vals = (s1, j1, int(qend[j1]), int(tstart[j1]),
+                        int(qstart[j1]), s2)
+                for k in range(6):
+                    out[k][b, c] = vals[k]
+        return out

@@ -1,0 +1,256 @@
+"""Postprocessing: adapter trim, 5'->3' reorientation, oligo-dT index demux.
+
+Mirrors ``C3POa_postprocessing.py`` (reference :112-398) with the BLAT
+adapter alignment replaced by the batched device kernel
+(kernels/adapters.py) and editdistance by ``ref/lev.py``.
+
+Rules reproduced exactly:
+- extrapolated adapter positions (parse_blat :252-263):
+  '+': position = read_end + (adapter_len - adapter_end);
+  '-': position = read_start - adapter_start (with the '-' combo aligned as
+  revcomp(adapter), which is coordinate-equivalent to BLAT's minus-strand
+  PSL arithmetic)
+- accept reads with exactly one '+' and one '-' hit, minus > plus
+  (:323-326); hit threshold: local score > 10 (BLAT matches>10, :252)
+- direction from which adapter is on '+' (:328-336); --undirectional
+  forces '+'
+- oligo-dT demux on 20bp junction windows via sliding Levenshtein,
+  accept best < 2 with margin > 1 (:266-285,:338-362)
+- output grammar: trimmed (-t) or +-40bp padded consensus, left/right
+  splint files, 10x barcode file (-b, with the reference's literal
+  'plus'/'minus' suffix on the sequence line, :374-384),
+  R2C2_oligodT_multiplexing.tsv, '_len' name suffix (:364-384)
+
+Deviation (documented): records stream to the final files in input order
+instead of through post_tmp_* trees catted in glob order.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import gzip
+import os
+from typing import NamedTuple
+
+import numpy as np
+
+from ..io.fastx import read_fastx
+from ..ref.lev import sliding_min_distance
+from ..utils.seqs import encode, revcomp, revcomp_encoded
+
+
+@dataclasses.dataclass
+class PostprocessConfig:
+    undirectional: bool = False   # -u
+    trim: bool = False            # -t
+    barcoded: bool = False        # -b
+    group_size: int = 1000        # -g
+    threads: int = 1              # -n (CPU path)
+    compress: bool = False        # -co
+    score_min: int = 10           # BLAT matches>10 analogue
+
+
+class AdapterHit(NamedTuple):
+    name: str
+    score: float
+    position: int
+
+
+def match_index(seq: str, seq_to_idx: dict) -> str:
+    """Exact port of reference match_index (C3POa_postprocessing.py:266-285).
+    seq_to_idx: {index_seq: index_name} in index-file order."""
+    dist_list = []
+    for idx_seq, idx in seq_to_idx.items():
+        dist_list.append((idx, sliding_min_distance(seq, idx_seq)))
+    dist_list = sorted(dist_list, key=lambda x: x[1])
+    if not dist_list:
+        return "-"
+    second = dist_list[1][1] if len(dist_list) > 1 else np.inf
+    if dist_list[0][1] < 2 and second - dist_list[0][1] > 1:
+        return dist_list[0][0]
+    return "-"
+
+
+def extract_hits(combo_meta, s1, j1, qe1, ts1, qs1, s2, score_min):
+    """Device outputs (per read, per combo) -> {'+': [...], '-': [...]}
+    with extrapolated positions; a passing second hit adds a duplicate
+    entry so the exactly-one rule rejects the read."""
+    hits = {"+": [], "-": []}
+    for c, (name, strand, alen) in enumerate(combo_meta):
+        if s1[c] <= score_min:
+            continue
+        start = int(ts1[c]) - int(qs1[c])
+        end = int(j1[c]) + 1 + (alen - 1 - int(qe1[c]))
+        position = end if strand == "+" else start
+        hits[strand].append(AdapterHit(name, float(s1[c]), position))
+        if s2[c] > score_min:
+            hits[strand].append(AdapterHit(name, float(s2[c]), position))
+    return hits
+
+
+class _Writers:
+    """Lazy output files per demux directory ('' = out root)."""
+
+    FLC = "R2C2_full_length_consensus_reads.fasta"
+    LEFT = "R2C2_full_length_consensus_reads_left_splint.fasta"
+    RIGHT = "R2C2_full_length_consensus_reads_right_splint.fasta"
+    TENX = "R2C2_full_length_consensus_reads_10X_sequences.fasta"
+    MUX = "R2C2_oligodT_multiplexing.tsv"
+
+    def __init__(self, out_path, compress):
+        self.out_path = out_path
+        self.compress = compress
+        self._h: dict = {}
+
+    def _open(self, *parts):
+        key = parts
+        if key not in self._h:
+            path = os.path.join(self.out_path, *parts)
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            if self.compress and not path.endswith(".tsv"):
+                self._h[key] = gzip.open(path + ".gz", "wt")
+            else:
+                self._h[key] = open(path, "w")
+        return self._h[key]
+
+    def trio(self, subdir):
+        parts = (subdir,) if subdir else ()
+        return (self._open(*parts, self.FLC),
+                self._open(*parts, self.LEFT),
+                self._open(*parts, self.RIGHT))
+
+    def tenx(self):
+        return self._open(self.TENX)
+
+    def mux(self):
+        return self._open(self.MUX)
+
+    def close(self):
+        for fh in self._h.values():
+            fh.close()
+
+
+@dataclasses.dataclass
+class PostprocessStats:
+    total: int = 0
+    written: int = 0
+    no_adapter: int = 0       # failed the exactly-one-per-strand rule
+    wrong_order: int = 0
+    no_direction: int = 0
+
+
+def _process_read(name, sequence, hits, cfg, writers, idx_to_seq, seq_to_idx,
+                  stats):
+    plus = sorted([h for h in hits["+"]], key=lambda h: h.position)
+    minus = sorted([h for h in hits["-"]], key=lambda h: h.position)
+    if len(plus) != 1 or len(minus) != 1:
+        stats.no_adapter += 1
+        return
+    plus_name, plus_pos = plus[0].name, plus[0].position
+    minus_name, minus_pos = minus[0].name, minus[0].position
+    if minus_pos <= plus_pos:
+        stats.wrong_order += 1
+        return
+
+    odT = bool(seq_to_idx)
+    if cfg.undirectional:
+        direction = "+"
+    elif plus_name != minus_name:
+        direction = "+" if plus_name == "5Prime_adapter" else "-"
+    else:
+        stats.no_direction += 1
+        return
+
+    idx_name = None
+    if odT:
+        fwd_win = sequence[plus_pos - 4:plus_pos + 16]
+        rev_win = revcomp(sequence[minus_pos - 16:minus_pos + 4])
+        writers.mux().write(f"{name}\t{rev_win}\t{fwd_win}\n")
+        forward_index = match_index(fwd_win, seq_to_idx)
+        reverse_index = match_index(rev_win, seq_to_idx)
+        demux = False
+        if forward_index in idx_to_seq and reverse_index not in idx_to_seq:
+            direction, idx_name, demux = "-", forward_index, True
+        if reverse_index in idx_to_seq and forward_index not in idx_to_seq:
+            direction, idx_name, demux = "+", reverse_index, True
+        if not demux:
+            idx_name = "no_index_found"
+
+    out, out3, out5 = writers.trio(idx_name)
+
+    seq = sequence[plus_pos:minus_pos]
+    ada = sequence[max(plus_pos - 40, 0):minus_pos + 40]
+    name = f"{name}_{len(seq)}"
+    if direction == "+":
+        out.write(f">{name}\n{seq if cfg.trim else ada}\n")
+        out5.write(f">{name}\n{revcomp(sequence[:plus_pos])}\n")
+        out3.write(f">{name}\n{sequence[minus_pos:]}\n")
+        if cfg.barcoded:
+            writers.tenx().write(
+                f">{name}\n{revcomp(sequence[minus_pos - 40:minus_pos])}plus\n")
+    else:
+        out.write(f">{name}\n{revcomp(seq) if cfg.trim else revcomp(ada)}\n")
+        out3.write(f">{name}\n{revcomp(sequence[:plus_pos + 40])}\n")
+        out5.write(f">{name}\n{sequence[minus_pos:]}\n")
+        if cfg.barcoded:
+            writers.tenx().write(
+                f">{name}\n{sequence[plus_pos:plus_pos + 40]}minus\n")
+    stats.written += 1
+
+
+def run_postprocess(input_fasta: str, out_path: str, adapter_fasta: str,
+                    index_fasta: str | None = None,
+                    cfg: PostprocessConfig | None = None,
+                    backend=None) -> PostprocessStats:
+    cfg = cfg or PostprocessConfig()
+    if backend is None:
+        from .backend import NumpyBackend
+        backend = NumpyBackend()
+    os.makedirs(out_path, exist_ok=True)
+
+    adapters = [(r.name, r.seq) for r in read_fastx(adapter_fasta)]
+    combo_meta, combo_codes = [], []
+    for name, seq in adapters:
+        codes = encode(seq)
+        combo_meta.append((name, "+", len(seq)))
+        combo_codes.append(codes)
+        combo_meta.append((name, "-", len(seq)))
+        combo_codes.append(revcomp_encoded(codes))
+
+    idx_to_seq: dict = {}
+    seq_to_idx: dict = {}
+    if index_fasta:
+        for r in read_fastx(index_fasta):
+            idx_to_seq[r.name] = r.seq
+            seq_to_idx[r.seq] = r.name
+
+    stats = PostprocessStats()
+    writers = _Writers(out_path, cfg.compress)
+    try:
+        group: list = []
+        for rec in read_fastx(input_fasta):
+            group.append(rec)
+            if len(group) == cfg.group_size:
+                _process_group(group, combo_meta, combo_codes, cfg, backend,
+                               writers, idx_to_seq, seq_to_idx, stats)
+                group = []
+        if group:
+            _process_group(group, combo_meta, combo_codes, cfg, backend,
+                           writers, idx_to_seq, seq_to_idx, stats)
+    finally:
+        writers.close()
+    return stats
+
+
+def _process_group(group, combo_meta, combo_codes, cfg, backend, writers,
+                   idx_to_seq, seq_to_idx, stats):
+    enc = [encode(r.seq) for r in group]
+    res = backend.adapter_hits(enc, combo_codes,
+                               [m[2] for m in combo_meta])
+    s1, j1, qe1, ts1, qs1, s2 = res
+    for b, rec in enumerate(group):
+        stats.total += 1
+        hits = extract_hits(combo_meta, s1[b], j1[b], qe1[b], ts1[b],
+                            qs1[b], s2[b], cfg.score_min)
+        _process_read(rec.name, rec.seq, hits, cfg, writers, idx_to_seq,
+                      seq_to_idx, stats)

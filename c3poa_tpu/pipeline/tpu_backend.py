@@ -27,7 +27,7 @@ from ..consensus.vote import SubreadAln
 from ..kernels.banded import SMAX, banded_align_trace_batch, ops_to_record
 from ..kernels.locate import locate_batch
 from ..ref.banded import normalize_record
-from .backend import Combo, LocateResult
+from .backend import Combo, LocateResult, NumpyBackend
 
 # read-length buckets (L); reads longer than the last bucket are truncated
 # for locating (splint peaks beyond 128k are beyond any real R2C2 read).
@@ -131,6 +131,40 @@ class TpuBackend:
                         int(combo[r]), int(score[r]),
                         pos[r, :n[r]].astype(np.int64))
         return out
+
+    # ---------------- adapters (postprocessing) ----------------
+
+    def adapter_hits(self, reads, combo_codes, combo_lens):
+        from ..kernels.adapters import adapter_hits_batch
+
+        C = len(combo_codes)
+        m = _pow2_at_least(max(len(c) for c in combo_codes), 64)
+        A = np.full((C, m), 4, dtype=np.int8)
+        for c, codes in enumerate(combo_codes):
+            A[c, :len(codes)] = codes
+        alens = np.asarray(combo_lens, dtype=np.int32)
+
+        B = len(reads)
+        outs = [np.zeros((B, C), dtype=np.int64) for _ in range(6)]
+        by_bucket: dict[int, list[int]] = {}
+        for i, codes in enumerate(reads):
+            by_bucket.setdefault(_bucket_len(len(codes)), []).append(i)
+        for L, idxs in sorted(by_bucket.items()):
+            P = _batch_size(len(idxs), LOCATE_BUDGET // (C * L))
+            for start in range(0, len(idxs), P):
+                chunk = idxs[start:start + P]
+                R = np.full((P, L), 4, dtype=np.int8)
+                for r, i in enumerate(chunk):
+                    codes = reads[i][:L]
+                    R[r, :len(codes)] = codes
+                mt, mm, gp = NumpyBackend.ADAPTER_SCORING
+                res = adapter_hits_batch(R, A, alens, match=mt, mismatch=mm,
+                                         gap=gp)
+                res = [np.asarray(x) for x in res]
+                for r, i in enumerate(chunk):
+                    for k in range(6):
+                        outs[k][i] = res[k][r]
+        return outs
 
     # ---------------- align ----------------
 

@@ -134,3 +134,47 @@ def write_fasta(path: str, entries: dict[str, str]) -> None:
     with open(path, "w") as fh:
         for name, seq in entries.items():
             fh.write(f">{name}\n{seq}\n")
+
+
+DEFAULT_ADAPTERS = {
+    # shapes mirror the bundled adapter.fasta (25bp 3', 56bp 5' with Ns)
+    "3Prime_adapter": "AAGCAGTGGTATCAACGCAGAGTAC",
+    "5Prime_adapter": "AATGATACGGCGACCACCGAGATCTACACTCTTTCCCTACACGACGCTCTTCCGATCT",
+}
+
+
+def make_consensus_like(
+    rng: np.random.Generator,
+    name: str,
+    cdna_len: int = 800,
+    adapters: dict[str, str] | None = None,
+    index: str | None = None,
+    direction: str = "+",
+    flank: tuple[int, int] = (90, 110),
+    error: float = 0.01,
+):
+    """A postprocessing input read: a consensus-like sequence
+
+        [left flank][5' adapter][cDNA][rc(index pad)][rc(3' adapter)][right flank]
+
+    laid out so the reference's junction windows (seq[plus-4:plus+16] after
+    the '+' adapter, revcomp(seq[minus-16:minus+4]) before the '-' adapter,
+    C3POa_postprocessing.py:338-346) contain the oligo-dT index on the 3'
+    side.  direction '-' emits the reverse complement.  Returns
+    (name, sequence, cdna).
+    """
+    adapters = adapters or DEFAULT_ADAPTERS
+    a5, a3 = adapters["5Prime_adapter"], adapters["3Prime_adapter"]
+    sub, ins, dele = error * 0.5, error * 0.25, error * 0.25
+    cdna = random_seq(rng, cdna_len)
+    if index is not None:
+        w = random_seq(rng, 3) + index + random_seq(rng, 3)
+        idx_block = revcomp(w)
+    else:
+        idx_block = random_seq(rng, 16)
+    seq = (random_seq(rng, flank[0]) + mutate(rng, a5, sub, ins, dele) +
+           cdna + idx_block + mutate(rng, revcomp(a3), sub, ins, dele) +
+           random_seq(rng, flank[1]))
+    if direction == "-":
+        seq = revcomp(seq)
+    return name, seq, cdna

@@ -1,0 +1,163 @@
+import os
+
+import numpy as np
+import pytest
+
+from c3poa_tpu import sim
+from c3poa_tpu.io.fastx import read_fastx
+from c3poa_tpu.pipeline.backend import NumpyBackend
+from c3poa_tpu.pipeline.postprocess import (
+    PostprocessConfig, match_index, run_postprocess,
+)
+from c3poa_tpu.ref.lev import levenshtein, sliding_min_distance
+from c3poa_tpu.utils.seqs import revcomp
+
+
+def test_levenshtein_matches_bruteforce():
+    rng = np.random.default_rng(0)
+    for _ in range(30):
+        a = sim.random_seq(rng, int(rng.integers(1, 15)))
+        b = sim.random_seq(rng, int(rng.integers(1, 15)))
+        # simple quadratic reference
+        la, lb = len(a), len(b)
+        dp = [[0] * (lb + 1) for _ in range(la + 1)]
+        for i in range(la + 1):
+            dp[i][0] = i
+        for j in range(lb + 1):
+            dp[0][j] = j
+        for i in range(1, la + 1):
+            for j in range(1, lb + 1):
+                dp[i][j] = min(dp[i - 1][j] + 1, dp[i][j - 1] + 1,
+                               dp[i - 1][j - 1] + (a[i - 1] != b[j - 1]))
+        assert levenshtein(a, b) == dp[la][lb]
+
+
+def test_sliding_min_distance():
+    rng = np.random.default_rng(1)
+    idx = "ACGTACGTTA"
+    seq = sim.random_seq(rng, 5) + idx + sim.random_seq(rng, 5)
+    assert sliding_min_distance(seq, idx) == 0
+    mutated = seq[:7] + "A" + seq[8:]
+    assert sliding_min_distance(mutated, idx) <= 1
+
+
+def test_match_index_accept_and_margin():
+    indexes = {f"Index{i}": sim.random_seq(np.random.default_rng(i), 10)
+               for i in range(1, 5)}
+    seq_to_idx = {v: k for k, v in indexes.items()}
+    win = "AGT" + indexes["Index2"] + "TTCCAADb"[:7]
+    win = "AGT" + indexes["Index2"] + "TTCCAAic"[:7].replace("i", "A").replace("c", "C")
+    assert match_index(win, seq_to_idx) == "Index2"
+    # random window: no match
+    assert match_index(sim.random_seq(np.random.default_rng(99), 20),
+                       seq_to_idx) in list(indexes) + ["-"]
+
+
+@pytest.fixture(scope="module")
+def post_run(tmp_path_factory):
+    d = tmp_path_factory.mktemp("post")
+    rng = np.random.default_rng(42)
+    indexes = {f"Index{i}": sim.random_seq(np.random.default_rng(1000 + i), 10)
+               for i in range(1, 5)}
+    reads, expected = [], {}
+    for i in range(10):
+        direction = "+" if i % 2 == 0 else "-"
+        idx = f"Index{(i % 4) + 1}"
+        name, seq, cdna = sim.make_consensus_like(
+            rng, f"cons_{i}", cdna_len=600, index=indexes[idx],
+            direction=direction, error=0.0)
+        reads.append((name, seq))
+        expected[name] = (direction, idx, cdna)
+    # one junk read with no adapters
+    reads.append(("junk", sim.random_seq(rng, 800)))
+
+    with open(d / "cons.fasta", "w") as fh:
+        for name, seq in reads:
+            fh.write(f">{name}\n{seq}\n")
+    sim.write_fasta(str(d / "adapters.fasta"), dict(sim.DEFAULT_ADAPTERS))
+    sim.write_fasta(str(d / "indexes.fasta"), indexes)
+    out = str(d / "out")
+    stats = run_postprocess(str(d / "cons.fasta"), out,
+                            str(d / "adapters.fasta"),
+                            str(d / "indexes.fasta"),
+                            PostprocessConfig(trim=True))
+    return d, reads, expected, indexes, out, stats
+
+
+def test_postprocess_stats(post_run):
+    _, reads, expected, indexes, out, stats = post_run
+    assert stats.total == 11
+    assert stats.written == 10
+    assert stats.no_adapter == 1
+
+
+def test_postprocess_demux_and_orientation(post_run):
+    d, reads, expected, indexes, out, stats = post_run
+    found = {}
+    for idx_name in list(indexes) + ["no_index_found"]:
+        path = os.path.join(out, idx_name,
+                            "R2C2_full_length_consensus_reads.fasta")
+        if not os.path.exists(path):
+            continue
+        for rec in read_fastx(path):
+            base, ln = rec.name.rsplit("_", 1)
+            found[base] = (idx_name, rec.seq, int(ln))
+    assert len(found) == 10
+    for name, (direction, idx, cdna) in expected.items():
+        got_idx, got_seq, ln = found[name]
+        assert got_idx == idx, f"{name}: routed to {got_idx}, want {idx}"
+        # trimmed + reoriented: must contain the cDNA 5'->3'
+        assert cdna in got_seq, f"{name}: cDNA not in trimmed output"
+        assert ln == len(got_seq)
+
+
+def test_postprocess_mux_tsv(post_run):
+    _, reads, expected, indexes, out, stats = post_run
+    lines = open(os.path.join(out, "R2C2_oligodT_multiplexing.tsv")) \
+        .read().splitlines()
+    assert len(lines) == 10
+    for line in lines:
+        name, rev_win, fwd_win = line.split("\t")
+        assert len(rev_win) == 20 and len(fwd_win) == 20
+
+
+def test_postprocess_no_index_untrimmed(tmp_path):
+    rng = np.random.default_rng(7)
+    name, seq, cdna = sim.make_consensus_like(rng, "c0", direction="+",
+                                              error=0.0)
+    with open(tmp_path / "cons.fasta", "w") as fh:
+        fh.write(f">{name}\n{seq}\n")
+    sim.write_fasta(str(tmp_path / "adapters.fasta"),
+                    dict(sim.DEFAULT_ADAPTERS))
+    out = str(tmp_path / "out")
+    stats = run_postprocess(str(tmp_path / "cons.fasta"), out,
+                            str(tmp_path / "adapters.fasta"), None,
+                            PostprocessConfig(trim=False))
+    assert stats.written == 1
+    recs = list(read_fastx(
+        os.path.join(out, "R2C2_full_length_consensus_reads.fasta")))
+    # untrimmed: +-40bp padding around the adapter span
+    assert cdna in recs[0].seq
+    left = list(read_fastx(os.path.join(
+        out, "R2C2_full_length_consensus_reads_left_splint.fasta")))
+    right = list(read_fastx(os.path.join(
+        out, "R2C2_full_length_consensus_reads_right_splint.fasta")))
+    assert len(left) == 1 and len(right) == 1
+
+
+def test_adapter_hits_backend_parity(post_run):
+    d, reads, expected, indexes, out, stats = post_run
+    from c3poa_tpu.pipeline.tpu_backend import TpuBackend
+    from c3poa_tpu.utils.seqs import encode, revcomp_encoded
+    from c3poa_tpu.utils import encode as enc2
+
+    combo_codes, combo_lens = [], []
+    for name, seq in sim.DEFAULT_ADAPTERS.items():
+        c = encode(seq)
+        combo_codes += [c, revcomp_encoded(c)]
+        combo_lens += [len(seq), len(seq)]
+    enc_reads = [encode(seq) for _, seq in reads[:6]]
+    a = NumpyBackend().adapter_hits(enc_reads, combo_codes, combo_lens)
+    b = TpuBackend().adapter_hits(enc_reads, combo_codes, combo_lens)
+    for k, nm in enumerate(["s1", "j1", "qe1", "ts1", "qs1", "s2"]):
+        np.testing.assert_array_equal(a[k], b[k], err_msg=nm)
