@@ -39,7 +39,7 @@ NEG = jnp.int32(-(2 ** 30))
 
 @partial(jax.jit, static_argnames=("match", "mismatch", "gap"))
 def start_profile_batch(reads: jax.Array, splints: jax.Array,
-                        match: int = 1, mismatch: int = -1, gap: int = 1
+                        match: int = 1, mismatch: int = -2, gap: int = 2
                         ) -> jax.Array:
     """reads: (B, L) int8 padded with 4; splints: (C, m) int8 padded with 4
     at the END.  Returns profiles (B, C, L) int32.

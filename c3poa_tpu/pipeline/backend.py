@@ -39,7 +39,7 @@ class LocateResult(NamedTuple):
 
 
 class NumpyBackend:
-    def __init__(self, match: int = 1, mismatch: int = -1, gap: int = 1):
+    def __init__(self, match: int = 1, mismatch: int = -2, gap: int = 2):
         self.match, self.mismatch, self.gap = match, mismatch, gap
 
     def locate_many(self, reads: Sequence[np.ndarray], combos: Sequence[Combo],

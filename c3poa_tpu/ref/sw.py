@@ -15,8 +15,10 @@ Spec
 ----
 ``profile[j]`` = best local-alignment score (linear gap) over all alignments
 of any substring of the splint against a read substring *starting* at read
-position ``j``.  Scoring: match +1, mismatch -1, gap -1 per base; any
+position ``j``.  Scoring: match +1, mismatch -2, gap -2 per base; any
 comparison involving code 4 (N/pad) scores 0.  Local floor at 0.
+(+-1 scoring sits near the local-alignment linear phase: background scores
+reach ~0.15*m and splint-dense reads then fail the 6x-median noise gate.)
 
 Peaks of the (smoothed) profile therefore sit at splint occurrence starts,
 matching the reference's ``peak + len(splint)//2`` midpoint geometry.
@@ -43,7 +45,7 @@ def score_matrix(match: int = 1, mismatch: int = -1) -> np.ndarray:
 
 
 def local_colmax_naive(query: np.ndarray, target: np.ndarray,
-                       match: int = 1, mismatch: int = -1, gap: int = 1) -> np.ndarray:
+                       match: int = 1, mismatch: int = -2, gap: int = 2) -> np.ndarray:
     """O(m*L) scalar-loop local DP; colmax[j] = max_i H[i][j].
 
     H[i][j] = max(0, H[i-1][j-1]+s, H[i-1][j]-gap, H[i][j-1]-gap).
@@ -66,7 +68,7 @@ def local_colmax_naive(query: np.ndarray, target: np.ndarray,
 
 
 def local_colmax(query: np.ndarray, target: np.ndarray,
-                 match: int = 1, mismatch: int = -1, gap: int = 1) -> np.ndarray:
+                 match: int = 1, mismatch: int = -2, gap: int = 2) -> np.ndarray:
     """Row-vectorised equivalent of ``local_colmax_naive``.
 
     Uses the in-row running-max identity for linear gaps:
@@ -90,14 +92,14 @@ def local_colmax(query: np.ndarray, target: np.ndarray,
 
 
 def start_profile(query: np.ndarray, target: np.ndarray,
-                  match: int = 1, mismatch: int = -1, gap: int = 1) -> np.ndarray:
+                  match: int = 1, mismatch: int = -2, gap: int = 2) -> np.ndarray:
     """Start-anchored profile: profile[j] = best local score of query vs an
     alignment starting at target position j (the conk-role profile)."""
     return local_colmax(query[::-1], target[::-1], match, mismatch, gap)[::-1]
 
 
 def local_hits_naive(query: np.ndarray, target: np.ndarray,
-                     match: int = 1, mismatch: int = -1, gap: int = 1):
+                     match: int = 1, mismatch: int = -2, gap: int = 2):
     """Full local DP with coordinate tracking (BLAT-postprocess role spec).
 
     Returns per-target-position arrays (length L):
@@ -141,7 +143,7 @@ def local_hits_naive(query: np.ndarray, target: np.ndarray,
 
 
 def local_hits(query: np.ndarray, target: np.ndarray,
-               match: int = 1, mismatch: int = -1, gap: int = 1):
+               match: int = 1, mismatch: int = -2, gap: int = 2):
     """Row-vectorised equivalent of ``local_hits_naive`` (kernel spec).
 
     Scans query positions as rows; carries (H, tstart, qstart) state vectors.
