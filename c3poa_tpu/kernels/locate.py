@@ -21,6 +21,24 @@ from .smooth import smooth3_batch
 from .sw_profile import start_profile_batch
 
 
+def _profile_impl(reads, splints):
+    """Profile kernel selection.
+
+    The Pallas kernel (kernels/pallas_profile.py) is bit-identical and
+    compute-optimal, but on this environment's relayed TPU runtime each
+    pallas_call carries ~100-200ms fixed dispatch overhead that swamps its
+    gain; the XLA scan is the default.  Set C3POA_USE_PALLAS=1 on directly
+    attached TPU hosts."""
+    import os
+    B, L = reads.shape
+    if os.environ.get("C3POA_USE_PALLAS") and \
+            jax.default_backend() not in ("cpu",) and \
+            B % 8 == 0 and L % 2048 == 0:
+        from .pallas_profile import start_profile_pallas
+        return start_profile_pallas(reads, splints)
+    return start_profile_batch(reads, splints)
+
+
 @partial(jax.jit, static_argnames=("tile",))
 def locate_device(reads: jax.Array, lens: jax.Array, splints: jax.Array,
                   tile: int = 64):
@@ -29,7 +47,7 @@ def locate_device(reads: jax.Array, lens: jax.Array, splints: jax.Array,
     Returns (combo (B,) int32, best_score (B,) int32,
              cand_pos (B, L/tile) int32, cand_h (B, L/tile) f32,
              med (B,) f32)."""
-    prof = start_profile_batch(reads, splints)          # (B, C, L) int32
+    prof = _profile_impl(reads, splints)                # (B, C, L) int32
     per_combo = jnp.max(prof, axis=2)                   # (B, C)
     combo = jnp.argmax(per_combo, axis=1).astype(jnp.int32)
     best_score = jnp.max(per_combo, axis=1)

@@ -1,0 +1,130 @@
+"""Pallas TPU kernel for the start-anchored splint score profile.
+
+Same DP as kernels/sw_profile.py (the conk/BLAT-preprocess role), but with
+the state resident in VMEM: the XLA scan formulation streams every (B, C, L)
+intermediate through HBM (~1TB of traffic per big batch, dominated by the
+per-row reverse running max), while this kernel reads each read tile once
+and writes each profile tile once.
+
+Decomposition: *overlapping tiles*.  A local alignment of an m-char splint
+can span at most  m * (1 + match/gap)  target columns (score budget
+m*match, each extra column costs >= gap), so G[.][j] only depends on read
+chars within that horizon.  Each grid cell therefore computes the DP over
+[tile_start, tile_end + OV) with a zero right boundary, OV >= horizon, and
+keeps the exact core [tile_start, tile_end).  Tiles are fully independent —
+no cross-tile carries, no sequential grid order.
+
+The splint chars are scanned as SMEM scalars (dynamic *vector* lane
+indexing is not supported by Mosaic); per-combo state lives in clean
+(B_TILE, TILE_L + OV) 2D registers.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG = -(2 ** 30)
+
+B_TILE = 8
+TILE_L = 2048
+
+
+def _round_up(x, n):
+    return -(-x // n) * n
+
+
+def _kernel(splints_ref, reads_ref, ext_ref, out_ref,
+            *, match, mismatch, gap, m, C, W, OV, levels, n_ltiles):
+    lt = pl.program_id(1)
+    is_last = lt == n_ltiles - 1
+
+    rd_main = reads_ref[:].astype(jnp.int32)              # (B_t, TILE_L)
+    rd_ext = ext_ref[:, :OV].astype(jnp.int32)            # (B_t, OV)
+    # the last tile has no right neighbour: its extension is padding
+    rd_ext = jnp.where(is_last, 4, rd_ext)
+    rd = jnp.concatenate([rd_main, rd_ext], axis=1)       # (B_t, W)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (B_TILE, W), 1)
+
+    def make_row(c):
+        def row(t, carry):
+            G_row, colmax = carry
+            i = m - 1 - t
+            sc = splints_ref[c * m + i]                   # SMEM scalar
+            sub = jnp.where((sc == 4) | (rd == 4), 0,
+                            jnp.where(rd == sc, match, mismatch))
+            # diag: G[i+1][j+1]; zero right boundary
+            shifted = pltpu.roll(G_row, shift=W - 1, axis=1)
+            shifted = jnp.where(lane == W - 1, 0, shifted)
+            diag = shifted + sub
+            up = G_row - gap
+            T = jnp.maximum(jnp.maximum(diag, up), 0)
+            # bounded-reach reverse running max (exact: reach >= horizon)
+            A = T - gap * lane
+            d = 1
+            for _ in range(levels):
+                sh = pltpu.roll(A, shift=W - d, axis=1)
+                sh = jnp.where(lane < W - d, sh, NEG)
+                A = jnp.maximum(A, sh)
+                d *= 2
+            G_new = A + gap * lane
+            return G_new, jnp.maximum(colmax, G_new)
+        return row
+
+    Z = jnp.zeros((B_TILE, W), dtype=jnp.int32)
+    for c in range(C):
+        _G, colmax = jax.lax.fori_loop(0, m, make_row(c), (Z, Z))
+        out_ref[:, c, :] = colmax[:, :TILE_L]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("match", "mismatch", "gap", "interpret"))
+def start_profile_pallas(reads: jax.Array, splints: jax.Array,
+                         match: int = 1, mismatch: int = -2, gap: int = 2,
+                         interpret: bool = False) -> jax.Array:
+    """Drop-in replacement for start_profile_batch (bit-identical output).
+
+    reads (B, L) int8 pad 4 with B % 8 == 0 and L % 2048 == 0;
+    splints (C, m) int8 pad 4.  Returns (B, C, L) int32.
+    """
+    B, L = reads.shape
+    C, m = splints.shape
+    assert B % B_TILE == 0 and L % TILE_L == 0, (B, L)
+    nB, nL = B // B_TILE, L // TILE_L
+
+    horizon = m * (1 + match // gap if match % gap == 0
+                   else 1 + match / gap)
+    OV = min(_round_up(int(m * (gap + match) / gap) + 8, 128), TILE_L)
+    W = TILE_L + OV
+    reach = m * match // gap + 1
+    levels = 1
+    while (1 << levels) - 1 < min(reach, W):
+        levels += 1
+
+    splints_flat = splints.astype(jnp.int32).reshape(C * m)
+
+    kernel = functools.partial(
+        _kernel, match=match, mismatch=mismatch, gap=gap, m=m, C=C,
+        W=W, OV=OV, levels=levels, n_ltiles=nL)
+    return pl.pallas_call(
+        kernel,
+        grid=(nB, nL),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((B_TILE, TILE_L), lambda b, l: (b, l),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B_TILE, TILE_L),
+                         lambda b, l: (b, jnp.minimum(l + 1, nL - 1)),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((B_TILE, C, TILE_L),
+                               lambda b, l: (b, 0, l),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, C, L), jnp.int32),
+        interpret=interpret,
+    )(splints_flat, reads, reads)

@@ -96,7 +96,9 @@ class TpuBackend:
     def _splint_array(self, combos) -> np.ndarray:
         key = tuple(id(c.codes) for c in combos)
         if key not in self._splint_cache:
-            m = _pow2_at_least(max(len(c.codes) for c in combos), 64)
+            # pad to a multiple of 32, not a power of two: the profile scan
+            # costs one full row per padded char
+            m = -(-max(len(c.codes) for c in combos) // 32) * 32
             S = np.full((len(combos), m), 4, dtype=np.int8)
             for i, c in enumerate(combos):
                 S[i, :len(c.codes)] = c.codes

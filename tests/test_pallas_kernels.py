@@ -1,0 +1,67 @@
+"""Pallas kernels (interpret mode) vs the XLA/numpy references.
+
+These kernels are compute-optimal but carry a fixed per-call dispatch
+overhead on relayed TPU runtimes, so the pipeline uses the XLA versions by
+default (C3POA_USE_PALLAS=1 opts in).  Parity is enforced here either way.
+"""
+
+import numpy as np
+import pytest
+
+from c3poa_tpu import sim
+from c3poa_tpu.kernels.banded import banded_align_batch
+from c3poa_tpu.kernels.pallas_banded import banded_fwd_pallas
+from c3poa_tpu.kernels.pallas_profile import start_profile_pallas
+from c3poa_tpu.ref import sw
+from c3poa_tpu.utils import encode
+
+
+def test_pallas_profile_matches_ref():
+    rng = np.random.default_rng(0)
+    B, L, C, m = 8, 4096, 2, 160
+    R = np.full((B, L), 4, dtype=np.int8)
+    lens = []
+    for b in range(B):
+        n = int(rng.integers(L // 2, L + 1))
+        R[b, :n] = rng.integers(0, 4, n)
+        lens.append(n)
+    S = np.full((C, m), 4, dtype=np.int8)
+    slens = []
+    for c in range(C):
+        sm = int(rng.integers(100, m + 1))
+        S[c, :sm] = rng.integers(0, 4, sm)
+        slens.append(sm)
+    # plant real occurrences incl. one spanning a tile boundary (2048)
+    R[0, 1990:1990 + slens[0]] = S[0, :slens[0]]
+    R[1, 100:100 + slens[1]] = S[1, :slens[1]]
+    prof = np.asarray(start_profile_pallas(R, S, interpret=True))
+    for b in range(B):
+        for c in range(C):
+            want = sw.start_profile(S[c][:slens[c]], R[b][:lens[b]])
+            np.testing.assert_array_equal(prof[b, c, :lens[b]], want,
+                                          err_msg=f"b={b} c={c}")
+
+
+def test_pallas_banded_fwd_matches_xla():
+    rng = np.random.default_rng(1)
+    P, nq, nt, W = 8, 512, 512, 64
+    Q = np.full((P, nq), 4, np.int8)
+    T = np.full((P, nt), 4, np.int8)
+    ql = np.zeros(P, np.int32)
+    tl = np.zeros(P, np.int32)
+    for p in range(P):
+        n = int(rng.integers(300, nt))
+        t = sim.random_seq(rng, n)
+        q = sim.mutate(rng, t, 0.05, 0.03, 0.03)[:nq]
+        T[p, :len(t)] = encode(t)
+        tl[p] = len(t)
+        Q[p, :len(q)] = encode(q)
+        ql[p] = len(q)
+    s1, j1, m1 = banded_align_batch(Q, T, ql, tl, band=W)
+    s2, j2, m2 = banded_fwd_pallas(Q, T, ql, tl, band=W, interpret=True)
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+    np.testing.assert_array_equal(np.asarray(j1), np.asarray(j2))
+    m1a, m2a = np.asarray(m1), np.asarray(m2)
+    for p in range(P):
+        np.testing.assert_array_equal(m1a[p, :ql[p]], m2a[p, :ql[p]],
+                                      err_msg=f"pair {p}")
