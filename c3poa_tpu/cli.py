@@ -56,6 +56,10 @@ def parse_args(argv=None):
     parser.add_argument("--compress_output", "-co", action="store_true",
                         default=False,
                         help="gzip the consensus fasta and subread fastq.")
+    parser.add_argument("--resume", action="store_true", default=False,
+                        help="Continue an interrupted run from the last "
+                             "completed read group (uncompressed output "
+                             "only; the reference's PSL-cache role).")
     parser.add_argument("--backend", type=str, default="auto",
                         choices=["auto", "tpu", "numpy"],
                         help="Compute backend (default: auto).")
@@ -98,6 +102,7 @@ def main(argv=None):
         group_size=args.groupSize,
         num_threads=args.numThreads,
         compress=args.compress_output,
+        resume=args.resume,
         cons=ConsensusParams(),
     )
     backend = pick_backend(args.backend)

@@ -59,7 +59,12 @@ class NumpyBackend:
         return out
 
     def align_many(self, pairs, params: ConsensusParams):
-        return serial_align_many(pairs, params)
+        from ..utils import prof
+        prof.current.count("align_pairs", len(pairs))
+        prof.current.count(
+            "align_cells", sum(len(q) * params.band for q, _q, _t in pairs))
+        with prof.current.stage("align"):
+            return serial_align_many(pairs, params)
 
     # Adapter scoring is stricter than the splint profile's +-1: BLAT's
     # tile seeds only fire on near-exact matches (tileSize=6, oneOff=1),

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import dataclasses
 import gzip
+import json
 import os
 from typing import Iterator
 
@@ -38,11 +39,13 @@ from ..consensus.engine import (
     ConsensusJob, ConsensusParams, consensus_many, zero_repeat_consensus,
 )
 from ..io.fastx import read_fastx
+from ..utils import prof
 from ..utils.seqs import decode, encode, phred_to_array, revcomp_encoded
 from .backend import Combo, NumpyBackend
 from .segment import segment_read
 
 VERSION = "v2.2.3+tpu"
+MANIFEST = ".c3poa_progress.json"
 
 
 @dataclasses.dataclass
@@ -53,9 +56,21 @@ class PipelineConfig:
     group_size: int = 1000         # -g
     num_threads: int = 1           # -n (used by CPU-parallel path)
     compress: bool = False         # -co
+    resume: bool = False           # continue an interrupted run (the
+                                   # reference's PSL cache role,
+                                   # bin/preprocess.py:17)
     splint_min_score: int = 50     # no-splint analogue of BLAT matches>50
                                    # (bin/preprocess.py:32)
     cons: ConsensusParams = dataclasses.field(default_factory=ConsensusParams)
+
+    def resume_key(self, reads_path, splint_path) -> dict:
+        return {
+            "reads": os.path.abspath(reads_path),
+            "splint": os.path.abspath(splint_path),
+            "lencutoff": self.lencutoff, "mdistcutoff": self.mdistcutoff,
+            "zero": self.zero, "group_size": self.group_size,
+            "compress": self.compress,
+        }
 
 
 @dataclasses.dataclass
@@ -71,24 +86,48 @@ class PipelineStats:
 
 
 class _SplintWriters:
-    """Lazy per-splint output files, gzip-aware."""
+    """Lazy per-splint output files, gzip-aware, resume-capable."""
 
-    def __init__(self, out_path: str, compress: bool):
+    def __init__(self, out_path: str, compress: bool,
+                 restore_sizes: dict | None = None):
         self.out_path = out_path
         self.compress = compress
+        self.restore_sizes = restore_sizes or {}
         self._handles: dict[str, tuple] = {}
+
+    def _open(self, path: str, rel: str):
+        if rel in self.restore_sizes and os.path.exists(path):
+            # resume: truncate to the last checkpointed size, then append
+            with open(path, "r+b") as fh:
+                fh.truncate(self.restore_sizes[rel])
+            return open(path, "a")
+        return open(path, "w")
 
     def get(self, splint: str):
         if splint not in self._handles:
             d = os.path.join(self.out_path, splint)
             os.makedirs(d, exist_ok=True)
-            suffix = ".gz" if self.compress else ""
-            op = (lambda p: gzip.open(p, "wt")) if self.compress else \
-                (lambda p: open(p, "w"))
-            cons = op(os.path.join(d, "R2C2_Consensus.fasta" + suffix))
-            subs = op(os.path.join(d, "R2C2_Subreads.fastq" + suffix))
+            if self.compress:
+                cons = gzip.open(
+                    os.path.join(d, "R2C2_Consensus.fasta.gz"), "wt")
+                subs = gzip.open(
+                    os.path.join(d, "R2C2_Subreads.fastq.gz"), "wt")
+            else:
+                cons = self._open(os.path.join(d, "R2C2_Consensus.fasta"),
+                                  f"{splint}/R2C2_Consensus.fasta")
+                subs = self._open(os.path.join(d, "R2C2_Subreads.fastq"),
+                                  f"{splint}/R2C2_Subreads.fastq")
             self._handles[splint] = (cons, subs)
         return self._handles[splint]
+
+    def sizes(self) -> dict:
+        out = {}
+        for splint, (cons, subs) in self._handles.items():
+            cons.flush()
+            subs.flush()
+            out[f"{splint}/R2C2_Consensus.fasta"] = cons.tell()
+            out[f"{splint}/R2C2_Subreads.fastq"] = subs.tell()
+        return out
 
     def close(self):
         for cons, subs in self._handles.values():
@@ -118,12 +157,24 @@ def _format_qual(q: np.ndarray) -> str:
         .tobytes().decode("ascii")
 
 
+def _load_manifest(out_path: str, key: dict):
+    path = os.path.join(out_path, MANIFEST)
+    if not os.path.exists(path):
+        return None
+    try:
+        m = json.load(open(path))
+    except (OSError, ValueError):
+        return None
+    return m if m.get("key") == key else None
+
+
 def run_pipeline(reads_path: str, splint_path: str, out_path: str,
                  cfg: PipelineConfig | None = None, backend=None
                  ) -> PipelineStats:
     cfg = cfg or PipelineConfig()
     backend = backend or NumpyBackend()
     os.makedirs(out_path, exist_ok=True)
+    profiler = prof.reset()
 
     combos: list[Combo] = []
     for rec in read_fastx(splint_path):
@@ -134,16 +185,44 @@ def run_pipeline(reads_path: str, splint_path: str, out_path: str,
         raise ValueError(f"no splints in {splint_path}")
 
     stats = PipelineStats()
-    writers = _SplintWriters(out_path, cfg.compress)
+    key = cfg.resume_key(reads_path, splint_path)
+    skip_groups = 0
+    restore_sizes = None
+    if cfg.resume and not cfg.compress:
+        manifest = _load_manifest(out_path, key)
+        if manifest:
+            skip_groups = manifest["groups_done"]
+            restore_sizes = manifest["files"]
+            for f, v in manifest["stats"].items():
+                setattr(stats, f, v)
+
+    writers = _SplintWriters(out_path, cfg.compress, restore_sizes)
+    manifest_path = os.path.join(out_path, MANIFEST)
     try:
-        for group in _read_groups(reads_path, cfg.lencutoff,
-                                  cfg.group_size, stats):
+        # short-read counting re-streams from the file start, so it is
+        # recomputed in full even on resume
+        filter_stats = PipelineStats()
+        gi = 0
+        for group in _read_groups(reads_path, cfg.lencutoff, cfg.group_size,
+                                  filter_stats):
+            gi += 1
+            if gi <= skip_groups:
+                continue
             stats.total_reads += len(group)
+            profiler.count("reads", len(group))
             _process_group(group, combos, cfg, backend, writers, stats)
+            if not cfg.compress:
+                stats.short_reads = filter_stats.short_reads
+                with open(manifest_path, "w") as fh:
+                    json.dump({"key": key, "groups_done": gi,
+                               "files": writers.sizes(),
+                               "stats": dataclasses.asdict(stats)}, fh)
+        stats.short_reads = filter_stats.short_reads
     finally:
         writers.close()
 
     _write_log(out_path, stats)
+    profiler.dump(os.path.join(out_path, "c3poa_stats.json"))
     return stats
 
 
@@ -152,7 +231,8 @@ def _process_group(group, combos, cfg: PipelineConfig, backend, writers,
     enc = [encode(r.seq) for r in group]
     quals = [phred_to_array(r.qual) if r.qual is not None
              else np.full(len(r.seq), 30, dtype=np.int8) for r in group]
-    located = backend.locate_many(enc, combos, cfg.mdistcutoff)
+    with prof.current.stage("locate"):
+        located = backend.locate_many(enc, combos, cfg.mdistcutoff)
 
     jobs: list[ConsensusJob] = []
     job_meta: list = []       # (record idx, splint, repeats, dangling names)
@@ -178,7 +258,8 @@ def _process_group(group, combos, cfg: PipelineConfig, backend, writers,
         jobs.append(ConsensusJob(subs, sq, dang, dq))
         job_meta.append((ri, combo.splint_name, seg))
 
-    results = consensus_many(jobs, cfg.cons, backend.align_many)
+    with prof.current.stage("consensus"):
+        results = consensus_many(jobs, cfg.cons, backend.align_many)
 
     emitted = []  # (record idx, splint, repeats, cons_codes, seg-like)
     for (ri, splint, seg), job, (cons, _cq) in zip(job_meta, jobs, results):
@@ -187,8 +268,10 @@ def _process_group(group, combos, cfg: PipelineConfig, backend, writers,
     for ri, splint, bounds in zero_jobs:
         codes, qual = enc[ri], quals[ri]
         (a0, b0), (a1, b1) = bounds
-        cons, _cq = zero_repeat_consensus(
-            codes[a0:b0], qual[a0:b0], codes[a1:b1], qual[a1:b1], cfg.cons)
+        with prof.current.stage("zero_repeat"):
+            cons, _cq = zero_repeat_consensus(
+                codes[a0:b0], qual[a0:b0], codes[a1:b1], qual[a1:b1],
+                cfg.cons)
         if len(cons) < cfg.mdistcutoff:
             cons = np.zeros(0, dtype=np.int8)
         job = ConsensusJob([], [], [codes[a0:b0], codes[a1:b1]],

@@ -171,6 +171,16 @@ class TpuBackend:
     # ---------------- align ----------------
 
     def align_many(self, pairs, params: ConsensusParams) -> list[SubreadAln]:
+        from ..utils import prof
+        W = params.band
+        prof.current.count(
+            "align_pairs", len(pairs))
+        prof.current.count(
+            "align_cells", sum(len(q) * W for q, _q, _t in pairs))
+        with prof.current.stage("align"):
+            return self._align_many(pairs, params)
+
+    def _align_many(self, pairs, params: ConsensusParams) -> list[SubreadAln]:
         W = params.band
         out: list = [None] * len(pairs)
 
