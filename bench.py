@@ -62,9 +62,11 @@ def main():
             backend = NumpyBackend()
             name = "numpy"
 
-        # warmup (compiles all bucket shapes on a subset)
+        # warmup: compile/fetch every bucket shape the benchmark will hit
+        # (remote compiles are minutes the first time, seconds after; the
+        # warmup set mirrors the benchmark distribution)
         warm = os.path.join(d, "warm")
-        make_dataset(os.path.join(d), n_base, seed=1)
+        make_dataset(os.path.join(d), max(32, n_base), seed=1)
         run_once(d, warm, backend)
 
         make_dataset(d, n_reads)

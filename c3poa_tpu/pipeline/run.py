@@ -31,6 +31,7 @@ import dataclasses
 import gzip
 import json
 import os
+from concurrent.futures import ThreadPoolExecutor
 from typing import Iterator
 
 import numpy as np
@@ -198,27 +199,53 @@ def run_pipeline(reads_path: str, splint_path: str, out_path: str,
 
     writers = _SplintWriters(out_path, cfg.compress, restore_sizes)
     manifest_path = os.path.join(out_path, MANIFEST)
+    overlap = getattr(backend, "supports_overlap", False)
+    executor = ThreadPoolExecutor(max_workers=1) if overlap else None
+
+    def checkpoint(gi):
+        if not cfg.compress:
+            with open(manifest_path, "w") as fh:
+                json.dump({"key": key, "groups_done": gi,
+                           "files": writers.sizes(),
+                           "stats": dataclasses.asdict(stats)}, fh)
+
+    def finish(gi, group, prelocated):
+        stats.total_reads += len(group)
+        profiler.count("reads", len(group))
+        _process_group(group, combos, cfg, backend, writers, stats,
+                       prelocated)
+        stats.short_reads = filter_stats.short_reads
+        checkpoint(gi)
+
     try:
         # short-read counting re-streams from the file start, so it is
         # recomputed in full even on resume
         filter_stats = PipelineStats()
         gi = 0
+        pending = None  # (gi, group, future)
         for group in _read_groups(reads_path, cfg.lencutoff, cfg.group_size,
                                   filter_stats):
             gi += 1
             if gi <= skip_groups:
                 continue
-            stats.total_reads += len(group)
-            profiler.count("reads", len(group))
-            _process_group(group, combos, cfg, backend, writers, stats)
-            if not cfg.compress:
-                stats.short_reads = filter_stats.short_reads
-                with open(manifest_path, "w") as fh:
-                    json.dump({"key": key, "groups_done": gi,
-                               "files": writers.sizes(),
-                               "stats": dataclasses.asdict(stats)}, fh)
+            if executor is not None:
+                # locate group g+1 on a worker thread while group g's
+                # consensus runs on this one
+                fut = executor.submit(_locate_group, group, combos, cfg,
+                                      backend)
+                if pending is not None:
+                    pgi, pgroup, pfut = pending
+                    finish(pgi, pgroup, pfut.result())
+                pending = (gi, group, fut)
+            else:
+                finish(gi, group, None)
+        if pending is not None:
+            pgi, pgroup, pfut = pending
+            finish(pgi, pgroup, pfut.result())
         stats.short_reads = filter_stats.short_reads
     finally:
+        if executor is not None:
+            executor.shutdown(wait=True)
         writers.close()
 
     _write_log(out_path, stats)
@@ -226,13 +253,22 @@ def run_pipeline(reads_path: str, splint_path: str, out_path: str,
     return stats
 
 
-def _process_group(group, combos, cfg: PipelineConfig, backend, writers,
-                   stats: PipelineStats) -> None:
+def _locate_group(group, combos, cfg: PipelineConfig, backend):
+    """Encode + locate (the part overlapped with the previous group's
+    consensus when the backend supports it)."""
     enc = [encode(r.seq) for r in group]
     quals = [phred_to_array(r.qual) if r.qual is not None
              else np.full(len(r.seq), 30, dtype=np.int8) for r in group]
     with prof.current.stage("locate"):
         located = backend.locate_many(enc, combos, cfg.mdistcutoff)
+    return enc, quals, located
+
+
+def _process_group(group, combos, cfg: PipelineConfig, backend, writers,
+                   stats: PipelineStats, prelocated=None) -> None:
+    if prelocated is None:
+        prelocated = _locate_group(group, combos, cfg, backend)
+    enc, quals, located = prelocated
 
     jobs: list[ConsensusJob] = []
     job_meta: list = []       # (record idx, splint, repeats, dangling names)

@@ -31,7 +31,9 @@ from .backend import Combo, LocateResult, NumpyBackend
 
 # read-length buckets (L); reads longer than the last bucket are truncated
 # for locating (splint peaks beyond 128k are beyond any real R2C2 read).
-# Few, coarse buckets: padded profile work is cheap, compiled shapes are not.
+# Few, coarse buckets: padded profile work is cheap, compiled shapes are not
+# (and this environment's compile cache persists some shapes unreliably —
+# an intermediate 49152 bucket recompiled ~170s in every process).
 LEN_BUCKETS = (8192, 32768, 131072)
 # device state budget for the locate kernel: B*C*L int32 elements
 LOCATE_BUDGET = 64 << 20
@@ -75,6 +77,8 @@ def _batch_size(n_items: int, budget_items: int) -> int:
 
 
 class TpuBackend:
+    supports_overlap = True
+
     def __init__(self, band: int | None = None, max_peaks: int = 128):
         import jax  # fail early if jax is unusable
 
@@ -114,6 +118,12 @@ class TpuBackend:
         for i, codes in enumerate(reads):
             by_bucket.setdefault(_bucket_len(len(codes)), []).append(i)
 
+        # dispatch all chunks first (device runs ahead), materialize after
+        from ..kernels.locate import locate_device
+        from ..kernels.peaks import select_peaks_host, tile_for_distance
+
+        tile = tile_for_distance(int(min_dist))
+        launches = []
         for L, idxs in sorted(by_bucket.items()):
             B = _batch_size(len(idxs), LOCATE_BUDGET // (C * L))
             for start in range(0, len(idxs), B):
@@ -124,14 +134,15 @@ class TpuBackend:
                     codes = reads[i][:L]
                     R[r, :len(codes)] = codes
                     lens[r] = len(codes)
-                combo, score, pos, n = locate_batch(
-                    R, lens, S, np.int32(min_dist), max_peaks=self.max_peaks)
-                combo, score = np.asarray(combo), np.asarray(score)
-                pos, n = np.asarray(pos), np.asarray(n)
-                for r, i in enumerate(chunk):
-                    out[i] = LocateResult(
-                        int(combo[r]), int(score[r]),
-                        pos[r, :n[r]].astype(np.int64))
+                res = locate_device(R, lens, S, tile=tile)
+                launches.append((chunk, res))
+        for chunk, (combo, score, cand_pos, cand_h, _med) in launches:
+            combo, score = np.asarray(combo), np.asarray(score)
+            peaks = select_peaks_host(np.asarray(cand_pos),
+                                      np.asarray(cand_h), int(min_dist))
+            for r, i in enumerate(chunk):
+                out[i] = LocateResult(int(combo[r]), int(score[r]),
+                                      peaks[r].astype(np.int64))
         return out
 
     # ---------------- adapters (postprocessing) ----------------
@@ -203,6 +214,8 @@ class TpuBackend:
             for i, r in zip(serial, res):
                 out[i] = r
 
+        # dispatch all chunks first (device runs ahead of host traceback)
+        launches = []
         for (nq, nt), idxs in sorted(by_bucket.items()):
             P = _batch_size(len(idxs), ALIGN_BUDGET // (nq * W))
             for start in range(0, len(idxs), P):
@@ -216,21 +229,23 @@ class TpuBackend:
                     Q[r, :len(q)] = q
                     T[r, :len(t)] = t
                     ql[r], tl[r] = len(q), len(t)
-                scores, j_ends, j_starts, ops = banded_align_trace_batch(
+                res = banded_align_trace_batch(
                     Q, T, ql, tl, band=W, match=params.match,
                     mismatch=params.mismatch, gap_open=params.gap_open,
                     gap_ext=params.gap_ext)
-                scores = np.asarray(scores)
-                j_ends = np.asarray(j_ends)
-                ops = np.asarray(ops)  # (P, nq+nt) uint8 — small transfer
-                for r, i in enumerate(chunk):
-                    q, qual, t = pairs[i]
-                    rec = native.ops_record_normalize(
-                        q, t, ops[r], int(j_ends[r]))
-                    if rec is None:  # no native lib: python fallback
-                        rec = ops_to_record(q, t, ops[r], int(j_ends[r]))
-                        rec = normalize_record(rec, q, t)
-                    rec = rec._replace(score=int(scores[r]))
-                    out[i] = SubreadAln(rec, np.asarray(q, dtype=np.int8),
-                                        np.asarray(qual, dtype=np.int8))
+                launches.append((chunk, res))
+        for chunk, (scores, j_ends, _j_starts, ops) in launches:
+            scores = np.asarray(scores)
+            j_ends = np.asarray(j_ends)
+            ops = np.asarray(ops)  # (P, nq+nt) uint8 — small transfer
+            for r, i in enumerate(chunk):
+                q, qual, t = pairs[i]
+                rec = native.ops_record_normalize(
+                    q, t, ops[r], int(j_ends[r]))
+                if rec is None:  # no native lib: python fallback
+                    rec = ops_to_record(q, t, ops[r], int(j_ends[r]))
+                    rec = normalize_record(rec, q, t)
+                rec = rec._replace(score=int(scores[r]))
+                out[i] = SubreadAln(rec, np.asarray(q, dtype=np.int8),
+                                    np.asarray(qual, dtype=np.int8))
         return out
