@@ -158,6 +158,34 @@ def _format_qual(q: np.ndarray) -> str:
         .tobytes().decode("ascii")
 
 
+class _MemoryWriters:
+    """Writer-compatible collector used by multiprocessing workers: output
+    text is returned to the parent, which writes in group order."""
+
+    def __init__(self):
+        self._h: dict = {}
+
+    def get(self, splint: str):
+        if splint not in self._h:
+            import io
+            self._h[splint] = (io.StringIO(), io.StringIO())
+        return self._h[splint]
+
+    def blobs(self) -> dict:
+        return {s: (c.getvalue(), u.getvalue())
+                for s, (c, u) in self._h.items()}
+
+
+def _group_worker(payload):
+    """Runs in a worker process (numpy backend only — no jax import)."""
+    group, combos, cfg = payload
+    stats = PipelineStats()
+    stats.total_reads = len(group)
+    writers = _MemoryWriters()
+    _process_group(group, combos, cfg, NumpyBackend(), writers, stats)
+    return writers.blobs(), dataclasses.asdict(stats)
+
+
 def _load_manifest(out_path: str, key: dict):
     path = os.path.join(out_path, MANIFEST)
     if not os.path.exists(path):
@@ -200,6 +228,9 @@ def run_pipeline(reads_path: str, splint_path: str, out_path: str,
     writers = _SplintWriters(out_path, cfg.compress, restore_sizes)
     manifest_path = os.path.join(out_path, MANIFEST)
     overlap = getattr(backend, "supports_overlap", False)
+    # CPU path: parallelize whole groups over processes (the reference's
+    # mp.Pool role, C3POa.py:236-257) with in-order writes
+    use_mp = (not overlap) and cfg.num_threads > 1
     executor = ThreadPoolExecutor(max_workers=1) if overlap else None
 
     def checkpoint(gi):
@@ -221,27 +252,31 @@ def run_pipeline(reads_path: str, splint_path: str, out_path: str,
         # short-read counting re-streams from the file start, so it is
         # recomputed in full even on resume
         filter_stats = PipelineStats()
-        gi = 0
-        pending = None  # (gi, group, future)
-        for group in _read_groups(reads_path, cfg.lencutoff, cfg.group_size,
-                                  filter_stats):
-            gi += 1
-            if gi <= skip_groups:
-                continue
-            if executor is not None:
-                # locate group g+1 on a worker thread while group g's
-                # consensus runs on this one
-                fut = executor.submit(_locate_group, group, combos, cfg,
-                                      backend)
-                if pending is not None:
-                    pgi, pgroup, pfut = pending
-                    finish(pgi, pgroup, pfut.result())
-                pending = (gi, group, fut)
-            else:
-                finish(gi, group, None)
-        if pending is not None:
-            pgi, pgroup, pfut = pending
-            finish(pgi, pgroup, pfut.result())
+        if use_mp:
+            _run_groups_mp(reads_path, combos, cfg, writers, stats,
+                           filter_stats, skip_groups, checkpoint, profiler)
+        else:
+            gi = 0
+            pending = None  # (gi, group, future)
+            for group in _read_groups(reads_path, cfg.lencutoff,
+                                      cfg.group_size, filter_stats):
+                gi += 1
+                if gi <= skip_groups:
+                    continue
+                if executor is not None:
+                    # locate group g+1 on a worker thread while group g's
+                    # consensus runs on this one
+                    fut = executor.submit(_locate_group, group, combos, cfg,
+                                          backend)
+                    if pending is not None:
+                        pgi, pgroup, pfut = pending
+                        finish(pgi, pgroup, pfut.result())
+                    pending = (gi, group, fut)
+                else:
+                    finish(gi, group, None)
+            if pending is not None:
+                pgi, pgroup, pfut = pending
+                finish(pgi, pgroup, pfut.result())
         stats.short_reads = filter_stats.short_reads
     finally:
         if executor is not None:
@@ -251,6 +286,40 @@ def run_pipeline(reads_path: str, splint_path: str, out_path: str,
     _write_log(out_path, stats)
     profiler.dump(os.path.join(out_path, "c3poa_stats.json"))
     return stats
+
+
+def _run_groups_mp(reads_path, combos, cfg, writers, stats, filter_stats,
+                   skip_groups, checkpoint, profiler):
+    """CPU multiprocessing: whole read groups fan out to worker processes
+    (spawn, like the reference C3POa.py:279); the parent writes returned
+    blobs in group order, keeping deterministic output."""
+    import multiprocessing as mp
+
+    ctx = mp.get_context("spawn")
+
+    def payloads():
+        gi = 0
+        for group in _read_groups(reads_path, cfg.lencutoff, cfg.group_size,
+                                  filter_stats):
+            gi += 1
+            if gi <= skip_groups:
+                continue
+            yield group, combos, cfg
+
+    gi = skip_groups
+    with ctx.Pool(cfg.num_threads) as pool:
+        for blobs, wstats in pool.imap(_group_worker, payloads()):
+            gi += 1
+            for splint, (cons_txt, subs_txt) in blobs.items():
+                cons_fh, subs_fh = writers.get(splint)
+                cons_fh.write(cons_txt)
+                subs_fh.write(subs_txt)
+            stats.total_reads += wstats["total_reads"]
+            stats.no_splint += wstats["no_splint"]
+            stats.consensus_written += wstats["consensus_written"]
+            profiler.count("reads", wstats["total_reads"])
+            stats.short_reads = filter_stats.short_reads
+            checkpoint(gi)
 
 
 def _locate_group(group, combos, cfg: PipelineConfig, backend):

@@ -151,3 +151,42 @@ def test_pipeline_compress(tmp_path):
     path = os.path.join(out, "Splint1", "R2C2_Consensus.fasta.gz")
     with gzip.open(path, "rt") as fh:
         assert fh.readline().startswith(">")
+
+
+def test_pipeline_multiprocessing_matches_serial(tmp_path):
+    reads, splints = sim.make_dataset(n_reads=6, seed=31, insert_len=(600, 800),
+                                      copies=(2, 4), error=0.05)
+    sim.write_fastq(str(tmp_path / "r.fastq"), reads)
+    sim.write_fasta(str(tmp_path / "s.fasta"), splints)
+    out1 = str(tmp_path / "serial")
+    out2 = str(tmp_path / "mp")
+    from c3poa_tpu.pipeline.backend import NumpyBackend
+    run_pipeline(str(tmp_path / "r.fastq"), str(tmp_path / "s.fasta"), out1,
+                 PipelineConfig(group_size=2), NumpyBackend())
+    run_pipeline(str(tmp_path / "r.fastq"), str(tmp_path / "s.fasta"), out2,
+                 PipelineConfig(group_size=2, num_threads=3), NumpyBackend())
+    for f in ("R2C2_Consensus.fasta", "R2C2_Subreads.fastq"):
+        a = open(os.path.join(out1, "Splint1", f)).read()
+        b = open(os.path.join(out2, "Splint1", f)).read()
+        assert a == b, f
+    assert open(os.path.join(out1, "c3poa.log")).read() == \
+        open(os.path.join(out2, "c3poa.log")).read()
+
+
+def test_pipeline_high_repeat_stress(tmp_path):
+    # BASELINE config 4: 8-30 subreads per read
+    reads, splints = sim.make_dataset(
+        n_reads=4, seed=41, insert_len=(500, 900), copies=(8, 30), error=0.06)
+    sim.write_fastq(str(tmp_path / "r.fastq"), reads)
+    sim.write_fasta(str(tmp_path / "s.fasta"), splints)
+    out = str(tmp_path / "out")
+    stats = run_pipeline(str(tmp_path / "r.fastq"), str(tmp_path / "s.fasta"),
+                         out, PipelineConfig())
+    assert stats.consensus_written == 4
+    for rec in read_fastx(os.path.join(out, "Splint1", "R2C2_Consensus.fasta")):
+        name = rec.name.rsplit("_", 4)
+        base, repeats = name[0], int(name[3])
+        r = next(x for x in reads if x.name == base)
+        assert repeats >= r.n_copies - 2  # most copies recovered as subreads
+        truth = rotated_truth(r, splints)
+        assert identity(encode(rec.seq), encode(truth)) > 0.99
