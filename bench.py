@@ -86,14 +86,12 @@ def main():
 
         base_reads_s = cpu_proxy_baseline(d)
 
-        # warmup: compile/fetch every bucket shape the benchmark will hit
-        # (remote compiles are minutes the first time, seconds after; the
-        # warmup set mirrors the benchmark distribution)
-        warm = os.path.join(d, "warm")
-        make_dataset(os.path.join(d), 32, seed=1)
-        run_once(d, warm, backend)
-
+        # warmup: run the exact benchmark dataset once first — chunk batch
+        # sizes depend on group population, so only the identical run
+        # guarantees every compiled shape is warm (remote compiles are
+        # minutes the first time, seconds after)
         make_dataset(d, n_reads)
+        run_once(d, os.path.join(d, "warm"), backend)
         stats, dt = run_once(d, os.path.join(d, "out"), backend)
         reads_s = stats.total_reads / dt
 

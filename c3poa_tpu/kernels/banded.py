@@ -60,6 +60,10 @@ def banded_align_batch(queries: jax.Array, targets: jax.Array,
     """
     P, nq_max = queries.shape
     _, nt_max = targets.shape
+    if nq_max % 4:  # pad rows to the scan unroll factor (frozen no-ops)
+        queries = jnp.pad(queries, ((0, 0), (0, 4 - nq_max % 4)),
+                          constant_values=4)
+        nq_max = queries.shape[1]
     W = band
     oe = jnp.int32(gap_open + gap_ext)
     e = jnp.int32(gap_ext)
@@ -162,9 +166,23 @@ def banded_align_batch(queries: jax.Array, targets: jax.Array,
         E = jnp.where(active, E, Ep)
         return (H, E, tw, lo_i), mv
 
-    steps = jnp.arange(1, nq_max + 1, dtype=jnp.int32)
-    (Hf, _Ef, _tw, lof), moves = jax.lax.scan(step, (H0, E0, tw0, lo0), steps)
-    moves = jnp.transpose(moves, (1, 0, 2))                  # (P, nq_max, W)
+    # unroll rows per scan step: the per-step state round-trip (HBM) and
+    # loop overhead dominate the tiny (P, W) row work
+    UNROLL = 4
+    assert nq_max % UNROLL == 0, nq_max
+
+    def step_u(carry, i0):
+        mvs = []
+        for k in range(UNROLL):
+            carry, mv = step(carry, i0 + k)
+            mvs.append(mv)
+        return carry, jnp.stack(mvs, axis=1)                 # (P, U, W)
+
+    starts = jnp.arange(1, nq_max + 1, UNROLL, dtype=jnp.int32)
+    (Hf, _Ef, _tw, lof), moves = jax.lax.scan(
+        step_u, (H0, E0, tw0, lo0), starts)
+    # (steps, P, U, W) -> (P, nq_max, W)
+    moves = jnp.transpose(moves, (1, 0, 2, 3)).reshape(P, nq_max, W)
 
     score = jnp.max(Hf, axis=1)
     k_end = jnp.argmax(Hf, axis=1).astype(jnp.int32)
@@ -205,7 +223,8 @@ def banded_align_trace_batch(queries: jax.Array, targets: jax.Array,
     q_lens = q_lens.astype(jnp.int32)
     t_lens = t_lens.astype(jnp.int32)
     hi = jnp.maximum(t_lens + 1 - W, 0)
-    moves_flat = moves.reshape(P, nq_max * W)
+    nq_pad = moves.shape[1]  # banded_align_batch pads rows to its unroll
+    moves_flat = moves.reshape(P, nq_pad * W)
     parr = jnp.arange(P, dtype=jnp.int32)
 
     def lo_of(i):
@@ -240,11 +259,21 @@ def banded_align_trace_batch(queries: jax.Array, targets: jax.Array,
         return (i - dec_i.astype(jnp.int32),
                 j - dec_j.astype(jnp.int32), st_next), op
 
+    # unrolled walk: same per-step-overhead amortization as the forward scan
+    UNROLL = 4
+    n_steps = -(-(nq_max + nt_max) // UNROLL)
+
+    def walk_u(carry, _):
+        opss = []
+        for _k in range(UNROLL):
+            carry, op = walk(carry, None)
+            opss.append(op)
+        return carry, jnp.stack(opss, axis=1)                # (P, U)
+
     init = (q_lens, j_end.astype(jnp.int32),
             jnp.zeros(P, dtype=jnp.int32))
-    (i_f, j_f, _st), ops = jax.lax.scan(
-        walk, init, None, length=nq_max + nt_max)
-    ops = jnp.transpose(ops, (1, 0))
+    (i_f, j_f, _st), ops = jax.lax.scan(walk_u, init, None, length=n_steps)
+    ops = jnp.transpose(ops, (1, 0, 2)).reshape(P, n_steps * UNROLL)
     return scores, j_end, j_f, ops
 
 

@@ -52,6 +52,11 @@ def start_profile_batch(reads: jax.Array, splints: jax.Array,
     reads = reads.astype(jnp.int32)
     splints = splints.astype(jnp.int32)
     jarr = jnp.arange(L, dtype=jnp.int32) * gap  # (L,)
+    # the reverse running max only needs reach m*match/gap: beyond that,
+    # T[k] - gap*(k-j) < 0 <= T[j] can never win (T >= 0), so the doubling
+    # stops early — these full-(B,C,L) passes dominate HBM traffic
+    reach = m * match // gap + 1
+    max_shift = min(reach, L)
 
     def step(carry, sc):
         G, colmax = carry
@@ -70,7 +75,7 @@ def start_profile_batch(reads: jax.Array, splints: jax.Array,
         # slower code on TPU)
         A = T - jarr[None, None, :]
         d = 1
-        while d < L:
+        while d < max_shift:
             A = jnp.maximum(
                 A, jnp.pad(A[:, :, d:], ((0, 0), (0, 0), (0, d)),
                            constant_values=NEG))
@@ -84,5 +89,22 @@ def start_profile_batch(reads: jax.Array, splints: jax.Array,
     # scan splint chars last -> first; padded tail chars are 4 (neutral):
     # they leave G at 0, so padding length is harmless.
     chars = splints.T[::-1]                          # (m, C)
-    (_, colmax), _ = jax.lax.scan(step, (G0, colmax0), chars)
+    # unroll rows per scan step: carries are (B, C, L)-sized and round-trip
+    # HBM once per step, which dominates at large L
+    UNROLL = 4
+    if m % UNROLL:
+        # pad rows must be processed FIRST (neutral chars leave G == 0);
+        # processed last they would shift the profile by one column each
+        pad = UNROLL - m % UNROLL
+        chars = jnp.concatenate(
+            [jnp.full((pad, C), 4, dtype=chars.dtype), chars], axis=0)
+
+    def step_u(carry, sc4):
+        for k in range(UNROLL):
+            carry, _ = step(carry, sc4[k])
+        return carry, None
+
+    (_, colmax), _ = jax.lax.scan(
+        step_u, (G0, colmax0),
+        chars.reshape(-1, UNROLL, C))
     return colmax
