@@ -26,6 +26,18 @@ def _find_lib():
     for c in cands:
         if os.path.exists(c):
             return c
+    # best-effort build from source (gcc + make are cheap; the Python
+    # fallbacks work but are ~10x slower on traceback/vote)
+    src_dir = os.path.join(here, "native")
+    if os.path.exists(os.path.join(src_dir, "Makefile")):
+        import subprocess
+        try:
+            subprocess.run(["make", "-C", src_dir], capture_output=True,
+                           timeout=120, check=True)
+        except Exception:
+            return None
+        if os.path.exists(cands[0]):
+            return cands[0]
     return None
 
 
