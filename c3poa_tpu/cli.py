@@ -106,8 +106,12 @@ def main(argv=None):
         cons=ConsensusParams(),
     )
     backend = pick_backend(args.backend)
-    stats = run_pipeline(args.reads, args.splint_file, args.out_path, cfg,
-                         backend)
+    try:
+        stats = run_pipeline(args.reads, args.splint_file, args.out_path,
+                             cfg, backend)
+    except (ValueError, OSError) as exc:
+        print(f"error: {exc}", file=sys.stderr)
+        sys.exit(1)
     print(f"consensus written: {stats.consensus_written} "
           f"(of {stats.total_reads} length-passing reads; "
           f"{stats.no_splint} no-splint, {stats.short_reads} short)",

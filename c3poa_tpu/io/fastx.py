@@ -78,6 +78,10 @@ def _read_fastq(fh) -> Iterator[FastxRecord]:
         qual = fh.readline().rstrip()
         if not plus:
             raise ValueError("truncated FASTQ record")
+        if len(qual) != len(seq):
+            raise ValueError(
+                f"FASTQ record {name!r}: quality length {len(qual)} != "
+                f"sequence length {len(seq)}")
         yield FastxRecord(name, seq, qual)
         nxt = fh.readline()
         if not nxt:
