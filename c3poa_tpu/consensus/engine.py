@@ -50,7 +50,12 @@ class ConsensusParams:
     gap_ext: int = 2
     band: int = 128
     qmin: int = 5
-    rounds: int = 2
+    # 1 = single vote of core + dangling subreads against the medoid draft
+    # (the racon shape: one polish pass against a backbone).  Measured more
+    # accurate than re-aligning to the round-1 consensus (a second round
+    # feeds the vote its own derived output — correlated, not independent,
+    # evidence) and half the alignment work.
+    rounds: int = 1
     # mappy-equivalent scoring for the zero-repeat overlap merge
     # (reference bin/determine_consensus.py:117: scoring=(20, 7, 10, 5))
     z_match: int = 20
@@ -78,6 +83,22 @@ def pick_draft(subreads: Sequence[np.ndarray]) -> int:
     return int(np.argmin(np.abs(lens - med)))
 
 
+def _window_pair(codes, draft, p: "ConsensusParams", is_dangling: bool):
+    """Partial copies do not follow the length-interpolated band diagonal:
+    anchor them to a draft window first (the role mappy's map-ont preset
+    plays in the reference, bin/determine_consensus.py:56).
+    Returns (target, offset) or None when no anchor is found."""
+    if is_dangling and len(codes) < len(draft) - p.band // 2:
+        hit = find_overlap(np.asarray(draft), np.asarray(codes))
+        if hit is None:
+            return None
+        r_st, r_en, q_st, q_en = hit
+        ws = max(0, r_st - q_st - 64)
+        we = min(len(draft), r_en + (len(codes) - q_en) + 64)
+        return draft[ws:we], ws
+    return draft, 0
+
+
 @dataclasses.dataclass
 class ConsensusJob:
     subreads: list          # core subread code arrays
@@ -103,7 +124,11 @@ def consensus_many(jobs: Sequence[ConsensusJob],
     cons_q: list = [None] * n
 
     # ---- round 1: POA role over core subreads ----
-    pairs, owners = [], []
+    # With rounds == 1 this is also the racon role: dangling fragments join
+    # the single vote against the medoid draft (racon itself polishes
+    # exactly once against its backbone, bin/determine_consensus.py:92).
+    single_round = p.rounds == 1
+    pairs, meta = [], []  # meta: (owner, window_offset, full_nt)
     for ji, job in enumerate(jobs):
         r = len(job.subreads)
         if r == 0:
@@ -111,20 +136,31 @@ def consensus_many(jobs: Sequence[ConsensusJob],
             cons_q[ji] = np.zeros(0, dtype=np.int8)
             continue
         di = pick_draft(job.subreads)
-        if r == 1:
+        if r == 1 and not (single_round and job.dangling):
             cons[ji] = np.asarray(job.subreads[0], dtype=np.int8)
             cons_q[ji] = np.asarray(job.sub_quals[0], dtype=np.int8)
             continue
-        for i in range(r):
-            if i != di:
-                pairs.append((job.subreads[i], job.sub_quals[i],
-                              job.subreads[di]))
-                owners.append(ji)
+        draft = np.asarray(job.subreads[di], dtype=np.int8)
+        members = [(job.subreads[i], job.sub_quals[i], False)
+                   for i in range(r) if i != di]
+        if single_round:
+            members += [(c, q, True) for c, q in
+                        zip(job.dangling, job.dangling_quals)]
+        for codes, quals, is_dangling in members:
+            win = _window_pair(codes, draft, p, is_dangling)
+            if win is None:
+                continue
+            target, offset = win
+            pairs.append((codes, quals, target))
+            meta.append((ji, offset, len(draft)))
         cons[ji] = ("draft", di)  # placeholder until vote
     alns = align_many(pairs, p)
     by_owner: dict[int, list] = {}
-    for a, o in zip(alns, owners):
-        by_owner.setdefault(o, []).append(a)
+    for a, (ji, offset, full_nt) in zip(alns, meta):
+        if offset != 0 or len(a.rec.cover) != full_nt:
+            a = SubreadAln(banded.embed_record(a.rec, offset, full_nt),
+                           a.query, a.qual)
+        by_owner.setdefault(ji, []).append(a)
     for ji, job in enumerate(jobs):
         if isinstance(cons[ji], tuple) and cons[ji][0] == "draft":
             di = cons[ji][1]
@@ -146,19 +182,10 @@ def consensus_many(jobs: Sequence[ConsensusJob],
                       [(c, q, True) for c, q in
                        zip(job.dangling, job.dangling_quals)]
             for codes, quals, is_dangling in members:
-                target, offset = draft, 0
-                if is_dangling and len(codes) < len(draft) - p.band // 2:
-                    # partial copies do not follow the length-interpolated
-                    # band diagonal: anchor them to a draft window first
-                    # (the role mappy's map-ont preset plays in the
-                    # reference, bin/determine_consensus.py:56)
-                    hit = find_overlap(np.asarray(draft), np.asarray(codes))
-                    if hit is None:
-                        continue
-                    r_st, r_en, q_st, q_en = hit
-                    ws = max(0, r_st - q_st - 64)
-                    we = min(len(draft), r_en + (len(codes) - q_en) + 64)
-                    target, offset = draft[ws:we], ws
+                win = _window_pair(codes, draft, p, is_dangling)
+                if win is None:
+                    continue
+                target, offset = win
                 pairs.append((codes, quals, target))
                 meta.append((ji, offset, len(draft)))
         if not pairs:

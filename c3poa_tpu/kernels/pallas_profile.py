@@ -97,8 +97,6 @@ def start_profile_pallas(reads: jax.Array, splints: jax.Array,
     assert B % B_TILE == 0 and L % TILE_L == 0, (B, L)
     nB, nL = B // B_TILE, L // TILE_L
 
-    horizon = m * (1 + match // gap if match % gap == 0
-                   else 1 + match / gap)
     OV = min(_round_up(int(m * (gap + match) / gap) + 8, 128), TILE_L)
     W = TILE_L + OV
     reach = m * match // gap + 1

@@ -25,9 +25,8 @@ from .. import native
 from ..consensus.engine import ConsensusParams
 from ..consensus.vote import SubreadAln
 from ..kernels.banded import SMAX, banded_align_trace_batch, ops_to_record
-from ..kernels.locate import locate_batch
 from ..ref.banded import normalize_record
-from .backend import Combo, LocateResult, NumpyBackend
+from .backend import LocateResult, NumpyBackend
 
 # read-length buckets (L); reads longer than the last bucket are truncated
 # for locating (splint peaks beyond 128k are beyond any real R2C2 read).

@@ -29,7 +29,7 @@ def make_copies(rng, truth, n, error, qual=25):
 @pytest.mark.parametrize("n,error,min_ident", [
     (3, 0.05, 0.99),
     (5, 0.08, 0.99),
-    (10, 0.10, 0.995),
+    (10, 0.10, 0.99),
     # two equal-quality voters coin-flip disagreements (as does the
     # reference's pairwise merge) -> ~1.5x the per-read error floor
     (2, 0.05, 0.95),
