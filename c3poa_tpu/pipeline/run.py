@@ -352,10 +352,17 @@ def _process_group(group, combos, cfg: PipelineConfig, backend, writers,
         seg = segment_read(len(codes), loc.peaks, combo.splint_len)
         if seg is None:
             continue
-        if seg.zero_repeat:
+        # the reference routes ANY read with zero surviving subreads and
+        # exactly two dangling fragments through the zero-repeat splice
+        # (bin/determine_consensus.py:14-16) — including multi-peak reads
+        # whose subreads all failed the median-length filter
+        if seg.zero_repeat or (not seg.subread_bounds and
+                               len(seg.dangling_bounds) == 2):
             if cfg.zero:
                 zero_jobs.append((ri, combo.splint_name, seg.dangling_bounds))
             continue
+        if not seg.subread_bounds:
+            continue  # no usable subreads and <2 danglings: dropped
         subs = [codes[a:b] for a, b in seg.subread_bounds]
         sq = [qual[a:b] for a, b in seg.subread_bounds]
         dang = [codes[a:b] for a, b in seg.dangling_bounds]
