@@ -35,6 +35,7 @@ import numpy as np
 
 from ..ref import banded
 from .overlap import find_overlap
+from .pairwise import pairwise_merge
 from .vote import SubreadAln, record_for_draft, vote_consensus
 
 # align_many(pairs, params) -> list[SubreadAln]
@@ -56,6 +57,10 @@ class ConsensusParams:
     # feeds the vote its own derived output — correlated, not independent,
     # evidence) and half the alignment work.
     rounds: int = 1
+    # exact 2-row merge (reference bin/consensus.py) when a read has
+    # exactly two voters: gap runs decided as a block by average quality
+    # (see consensus/pairwise.py).  With >2 voters the column vote runs.
+    pairwise: bool = True
     # mappy-equivalent scoring for the zero-repeat overlap merge
     # (reference bin/determine_consensus.py:117: scoring=(20, 7, 10, 5))
     z_match: int = 20
@@ -164,11 +169,19 @@ def consensus_many(jobs: Sequence[ConsensusJob],
     for ji, job in enumerate(jobs):
         if isinstance(cons[ji], tuple) and cons[ji][0] == "draft":
             di = cons[ji][1]
-            voters = [record_for_draft(np.asarray(job.subreads[di], dtype=np.int8),
-                                       np.asarray(job.sub_quals[di], dtype=np.int8))]
-            voters += by_owner.get(ji, [])
+            draft = np.asarray(job.subreads[di], dtype=np.int8)
+            draft_q = np.asarray(job.sub_quals[di], dtype=np.int8)
+            others = by_owner.get(ji, [])
+            if p.pairwise and len(others) == 1:
+                # exactly two voters: the reference's 2-row quality merge
+                # (bin/consensus.py via bin/determine_consensus.py:33-41)
+                a = others[0]
+                cons[ji], cons_q[ji] = pairwise_merge(
+                    draft, draft_q, a.rec, a.query, a.qual)
+                continue
+            voters = [record_for_draft(draft, draft_q)] + others
             cons[ji], cons_q[ji] = vote_consensus(
-                len(job.subreads[di]), voters, qmin=p.qmin)
+                len(draft), voters, qmin=p.qmin)
 
     # ---- rounds 2..R: racon role over core + dangling ----
     for _ in range(p.rounds - 1):
@@ -236,9 +249,14 @@ def zero_repeat_consensus(sub0, qual0, sub1, qual1,
         p, match=p.z_match, mismatch=p.z_mismatch,
         gap_open=p.z_gap_open, gap_ext=p.z_gap_ext,
         band=max(p.band, 2 * abs(len(ov0) - len(ov1)) + 64))
-    alns = [record_for_draft(ov0, ovq0)] + serial_align_many(
-        [(ov1, ovq1, ov0)], zp)
-    merged, merged_q = vote_consensus(len(ov0), alns, qmin=p.qmin)
+    (a,) = serial_align_many([(ov1, ovq1, ov0)], zp)
+    if p.pairwise:
+        # the reference merges the two overlap rows with the 2-row quality
+        # rule (bin/determine_consensus.py:130-134 -> bin/consensus.py)
+        merged, merged_q = pairwise_merge(ov0, ovq0, a.rec, a.query, a.qual)
+    else:
+        alns = [record_for_draft(ov0, ovq0), a]
+        merged, merged_q = vote_consensus(len(ov0), alns, qmin=p.qmin)
 
     cons = np.concatenate([sub1[:q_st], merged, sub0[r_en:]]).astype(np.int8)
     cons_q = np.concatenate([qual1[:q_st], merged_q, qual0[r_en:]]).astype(np.int8)

@@ -11,8 +11,8 @@ besides H, the path's target-start and query-start as payloads; the in-row
 gap-run resolution is a prefix-max doubling pass that moves payloads with
 values (exact match of ref.sw.local_hits tie rules: no-gap beats run on
 ties; among run sources the later start wins).  The second hit is the max
-after masking +-(2*adapter_len) around the best — only (B, C) scalars
-leave the device.
+over end columns whose alignment span is near-disjoint from the best
+hit's span — only (B, C) scalars leave the device.
 
 Scoring: match +1 / mismatch -1 / gap -1 / N neutral, local floor 0 — the
 score plays BLAT's "matches" role, so the reference's matches>10 threshold
@@ -26,7 +26,13 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from ..pipeline.backend import NumpyBackend
+
 NEG = jnp.int32(-(2 ** 30))
+
+# allowed span overlap between the best and second hit (shared with the
+# numpy backend so both report identical second hits)
+OVERLAP_TOL = NumpyBackend.OVERLAP_TOL
 
 
 @partial(jax.jit, static_argnames=("match", "mismatch", "gap"))
@@ -115,9 +121,15 @@ def adapter_hits_batch(reads: jax.Array, adapters: jax.Array,
     s1 = jnp.max(colmax, axis=2)
     take = lambda M: jnp.take_along_axis(M, j1[:, :, None], axis=2)[:, :, 0]
     qe1, ts1, qs1 = take(qend_b), take(ts_b), take(qs_b)
-    # second hit: mask +-2*adapter_len around j1
-    width = 2 * adapter_lens[None, :, None]
+    # second hit: best end column whose alignment span [ts_b[j], j] is
+    # (near-)disjoint from the best span — genuine second copies (dimers)
+    # surface so the exactly-one-hit rule rejects the read, as BLAT's
+    # every-PSL-row accounting does (C3POa_postprocessing.py:238-264),
+    # while shifted self-alignments of the same occurrence stay suppressed
+    del adapter_lens  # alignment spans, not adapter length, bound the mask
     jj = jnp.arange(L, dtype=jnp.int32)[None, None, :]
-    masked = jnp.where(jnp.abs(jj - j1[:, :, None]) <= width, NEG, colmax)
+    overlap = jnp.minimum(jj, j1[:, :, None]) - \
+        jnp.maximum(ts_b, ts1[:, :, None]) + 1
+    masked = jnp.where(overlap > OVERLAP_TOL, NEG, colmax)
     s2 = jnp.max(masked, axis=2)
     return s1, j1, qe1, ts1, qs1, s2

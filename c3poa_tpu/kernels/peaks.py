@@ -129,15 +129,29 @@ def peak_candidates_batch(smoothed: jax.Array, lens: jax.Array,
     h = jnp.where(ok, xm, NEG_F)
     midpoint = (l_run + jidx) // 2
 
-    # per-tile (max height, rightmost position among equal max) reduction
+    # per-tile top-2 (height, rightmost position among equal max) reduction.
+    # Keeping two candidates per tile covers the chain case where the tile
+    # winner is eliminated by a stronger peak < distance away while the
+    # runner-up survives scipy's selection (see PARITY.md for the residual
+    # 3-deep edge case).
     M = L // tile
     h_t = h.reshape(B, M, tile)
-    hmax = jnp.max(h_t, axis=2)
     mid_t = jnp.where(ok, midpoint, -1).reshape(B, M, tile)
-    pos_sel = jnp.max(
-        jnp.where(h_t == hmax[:, :, None], mid_t, -1), axis=2)
-    cand_pos = jnp.where(hmax > NEG_F / 2, pos_sel, -1)
-    return cand_pos, hmax, med, height, gated
+
+    def tile_best(h_t):
+        hmax = jnp.max(h_t, axis=2)
+        pos_sel = jnp.max(
+            jnp.where(h_t == hmax[:, :, None], mid_t, -1), axis=2)
+        return hmax, jnp.where(hmax > NEG_F / 2, pos_sel, -1)
+
+    h1, p1 = tile_best(h_t)
+    # runner-up: drop only the winner's position, re-reduce
+    h_t2 = jnp.where(mid_t == p1[:, :, None], NEG_F, h_t)
+    h2, p2 = tile_best(h_t2)
+
+    cand_pos = jnp.concatenate([p1, p2], axis=1)
+    cand_h = jnp.concatenate([h1, h2], axis=1)
+    return cand_pos, cand_h, med, height, gated
 
 
 def select_peaks_host(cand_pos: np.ndarray, cand_h: np.ndarray,
@@ -155,6 +169,10 @@ def select_peaks_host(cand_pos: np.ndarray, cand_h: np.ndarray,
         if len(pos) == 0:
             out.append(np.zeros(0, dtype=np.int64))
             continue
+        # candidates arrive (winner-slots, runner-up-slots): sort by
+        # position — select_by_distance walks sorted neighbors
+        o = np.argsort(pos, kind="stable")
+        pos, h = pos[o], h[o]
         keep = select_by_distance(pos, h, min_dist)
         out.append(pos[keep])
     return out

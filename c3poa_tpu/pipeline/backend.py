@@ -71,6 +71,14 @@ class NumpyBackend:
     # so sloppy chance alignments must not reach the matches>10 threshold.
     ADAPTER_SCORING = (1, -3, 3)  # match, mismatch, gap penalty
 
+    # A second hit only counts when its aligned span is (near-)disjoint
+    # from the best hit's span: shifted self-alignments of a self-similar
+    # adapter (the bundled 5' adapter scores 31 against itself at shift
+    # ~13) overlap the best span heavily, while a genuine second adapter
+    # copy — even an adjacent dimer — occupies its own span.  Spans may
+    # share at most this many columns.
+    OVERLAP_TOL = 4
+
     def adapter_hits(self, reads, combo_codes, combo_lens):
         """Best-two local hits with coords per (read, adapter combo).
 
@@ -86,7 +94,14 @@ class NumpyBackend:
                 j1 = int(np.argmax(colmax))
                 s1 = int(colmax[j1])
                 jj = np.arange(len(colmax))
-                masked = np.where(np.abs(jj - j1) <= 2 * alen,
+                # second hit = best end column whose alignment span
+                # [tstart[j], j] is (near-)disjoint from the best span —
+                # so genuine nearby copies (dimers) surface and the
+                # exactly-one-hit rule rejects the read, while shifted
+                # self-alignments of the same occurrence stay suppressed
+                overlap = np.minimum(jj, j1) - \
+                    np.maximum(tstart, int(tstart[j1])) + 1
+                masked = np.where(overlap > self.OVERLAP_TOL,
                                   -(2 ** 30), colmax)
                 s2 = int(masked.max(initial=-(2 ** 30)))
                 vals = (s1, j1, int(qend[j1]), int(tstart[j1]),

@@ -28,8 +28,8 @@ from ..kernels.banded import SMAX, banded_align_trace_batch, ops_to_record
 from ..ref.banded import normalize_record
 from .backend import LocateResult, NumpyBackend
 
-# read-length buckets (L); reads longer than the last bucket are truncated
-# for locating (splint peaks beyond 128k are beyond any real R2C2 read).
+# read-length buckets (L); reads longer than the last bucket fall back to
+# the exact numpy locate path (locate_many), so no read is ever truncated.
 # Few, coarse buckets: padded profile work is cheap, compiled shapes are not
 # (and this environment's compile cache persists some shapes unreliably —
 # an intermediate 49152 bucket recompiled ~170s in every process).
@@ -114,8 +114,22 @@ class TpuBackend:
         out: list = [None] * len(reads)
 
         by_bucket: dict[int, list[int]] = {}
+        overlong: list[int] = []
         for i, codes in enumerate(reads):
+            if len(codes) > LEN_BUCKETS[-1]:
+                # beyond the bucket ladder (>128 kb): the exact host path
+                # locates the full read instead of truncating it — rare
+                # enough that the O(m*n) numpy profile is fine
+                overlong.append(i)
+                continue
             by_bucket.setdefault(_bucket_len(len(codes)), []).append(i)
+        if overlong:
+            from ..utils import prof
+            prof.current.count("overlong_reads_host_located", len(overlong))
+            host = NumpyBackend()
+            for i, r in zip(overlong, host.locate_many(
+                    [reads[i] for i in overlong], combos, min_dist)):
+                out[i] = r
 
         # dispatch all chunks first (device runs ahead), materialize after
         from ..kernels.locate import locate_device
@@ -159,8 +173,18 @@ class TpuBackend:
         B = len(reads)
         outs = [np.zeros((B, C), dtype=np.int64) for _ in range(6)]
         by_bucket: dict[int, list[int]] = {}
+        overlong: list[int] = []
         for i, codes in enumerate(reads):
+            if len(codes) > LEN_BUCKETS[-1]:
+                overlong.append(i)  # exact host path, as in locate_many
+                continue
             by_bucket.setdefault(_bucket_len(len(codes)), []).append(i)
+        if overlong:
+            host_res = NumpyBackend().adapter_hits(
+                [reads[i] for i in overlong], combo_codes, combo_lens)
+            for r, i in enumerate(overlong):
+                for k in range(6):
+                    outs[k][i] = host_res[k][r]
         for L, idxs in sorted(by_bucket.items()):
             P = _batch_size(len(idxs), LOCATE_BUDGET // (C * L))
             for start in range(0, len(idxs), P):

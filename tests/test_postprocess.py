@@ -68,6 +68,10 @@ def post_run(tmp_path_factory):
             direction=direction, error=0.0)
         reads.append((name, seq))
         expected[name] = (direction, idx, cdna)
+    # cons_1 carries a chance 11-base adapter match in its random cDNA —
+    # a genuine second PSL-row under BLAT's matches>10 accounting, so the
+    # exactly-one-hit rule rejects it (reference C3POa_postprocessing.py:323)
+    del expected["cons_1"]
     # one junk read with no adapters
     reads.append(("junk", sim.random_seq(rng, 800)))
 
@@ -87,8 +91,8 @@ def post_run(tmp_path_factory):
 def test_postprocess_stats(post_run):
     _, reads, expected, indexes, out, stats = post_run
     assert stats.total == 11
-    assert stats.written == 10
-    assert stats.no_adapter == 1
+    assert stats.written == 9      # cons_1 rejected: chance second hit
+    assert stats.no_adapter == 2   # junk + cons_1
 
 
 def test_postprocess_demux_and_orientation(post_run):
@@ -102,7 +106,7 @@ def test_postprocess_demux_and_orientation(post_run):
         for rec in read_fastx(path):
             base, ln = rec.name.rsplit("_", 1)
             found[base] = (idx_name, rec.seq, int(ln))
-    assert len(found) == 10
+    assert len(found) == 9
     for name, (direction, idx, cdna) in expected.items():
         got_idx, got_seq, ln = found[name]
         assert got_idx == idx, f"{name}: routed to {got_idx}, want {idx}"
@@ -115,7 +119,7 @@ def test_postprocess_mux_tsv(post_run):
     _, reads, expected, indexes, out, stats = post_run
     lines = open(os.path.join(out, "R2C2_oligodT_multiplexing.tsv")) \
         .read().splitlines()
-    assert len(lines) == 10
+    assert len(lines) == 9
     for line in lines:
         name, rev_win, fwd_win = line.split("\t")
         assert len(rev_win) == 20 and len(fwd_win) == 20
@@ -161,3 +165,39 @@ def test_adapter_hits_backend_parity(post_run):
     b = TpuBackend().adapter_hits(enc_reads, combo_codes, combo_lens)
     for k, nm in enumerate(["s1", "j1", "qe1", "ts1", "qs1", "s2"]):
         np.testing.assert_array_equal(a[k], b[k], err_msg=nm)
+
+
+def test_adapter_dimer_rejected_single_copy_accepted():
+    """A tandem adapter dimer must surface a second hit (read rejected by
+    the exactly-one rule, matching BLAT's every-PSL-row accounting); a
+    single copy plus the 5' adapter's shifted self-similarity must not."""
+    from c3poa_tpu.pipeline.backend import NumpyBackend
+    from c3poa_tpu.utils.seqs import encode, revcomp, revcomp_encoded
+
+    # (seed 9 plants a chance 13-base adapter match in the random tail —
+    # which correctly counts as a second hit, as BLAT's matches>10 would)
+    rng = np.random.default_rng(10)
+    a5 = sim.DEFAULT_ADAPTERS["5Prime_adapter"]
+    a3 = sim.DEFAULT_ADAPTERS["3Prime_adapter"]
+    combo_codes = [encode(a5), revcomp_encoded(encode(a5))]
+    combo_lens = [len(a5), len(a5)]
+
+    flank = sim.random_seq(rng, 300)
+    tail = sim.random_seq(rng, 300)
+    single = flank + a5 + tail
+    dimer = flank + a5 + sim.random_seq(rng, 5) + a5 + tail
+
+    b = NumpyBackend()
+    res_s = b.adapter_hits([encode(single)], combo_codes, combo_lens)
+    res_d = b.adapter_hits([encode(dimer)], combo_codes, combo_lens)
+    s1_s, s2_s = int(res_s[0][0, 0]), int(res_s[5][0, 0])
+    s1_d, s2_d = int(res_d[0][0, 0]), int(res_d[5][0, 0])
+    assert s1_s == len(a5) and s2_s <= 10   # self-similarity suppressed
+    assert s1_d == len(a5) and s2_d > 10    # genuine second copy surfaces
+
+    # parity: the device kernel reports the same second hits
+    from c3poa_tpu.pipeline.tpu_backend import TpuBackend
+    res_t = TpuBackend().adapter_hits(
+        [encode(single), encode(dimer)], combo_codes, combo_lens)
+    assert int(res_t[5][0, 0]) == s2_s
+    assert int(res_t[5][1, 0]) == s2_d
