@@ -63,6 +63,16 @@ def parse_args(argv=None):
     parser.add_argument("--backend", type=str, default="auto",
                         choices=["auto", "tpu", "numpy"],
                         help="Compute backend (default: auto).")
+    parser.add_argument("--coordinator", type=str, default=None,
+                        help="Multi-host: coordinator address "
+                             "(host:port) for jax.distributed.")
+    parser.add_argument("--num_processes", type=int, default=1,
+                        help="Multi-host: total number of host processes; "
+                             "read groups shard round-robin and host 0 "
+                             "merges the per-host trees byte-identically "
+                             "to a single-host run.")
+    parser.add_argument("--process_id", type=int, default=None,
+                        help="Multi-host: this process's index.")
     parser.add_argument("--version", "-v", action="version", version=VERSION)
 
     if argv is None and len(sys.argv) == 1:
@@ -95,6 +105,11 @@ def main(argv=None):
         print("Reads (--reads/-r) and splint (--splint_file/-s) are required",
               file=sys.stderr)
         sys.exit(1)
+    process_index, process_count = 0, 1
+    if args.num_processes > 1:
+        from .parallel.dist import initialize
+        process_index, process_count = initialize(
+            args.coordinator, args.num_processes, args.process_id)
     cfg = PipelineConfig(
         lencutoff=args.lencutoff,
         mdistcutoff=args.mdistcutoff,
@@ -103,6 +118,8 @@ def main(argv=None):
         num_threads=args.numThreads,
         compress=args.compress_output,
         resume=args.resume,
+        process_index=process_index,
+        process_count=process_count,
         cons=ConsensusParams(),
     )
     backend = pick_backend(args.backend)

@@ -35,9 +35,15 @@ def parse_args(argv=None):
     parser.add_argument("--barcoded", "-b", action="store_true", default=False,
                         help="Produce a separate file with 10x barcodes.")
     parser.add_argument("--threads", "-n", type=int, default=1,
-                        help="Worker threads for the CPU backend.")
+                        help="Worker processes for the CPU backend "
+                             "(whole read groups fan out; output order "
+                             "stays deterministic).")
     parser.add_argument("--groupSize", "-g", type=int, default=1000,
                         help="Reads per processing group.")
+    parser.add_argument("--resume", action="store_true", default=False,
+                        help="Continue an interrupted run from the last "
+                             "completed read group (uncompressed output "
+                             "only; the reference's PSL-cache role).")
     parser.add_argument("--blatThreads", "-bt", action="store_true",
                         default=False, help="Accepted for compatibility; ignored.")
     parser.add_argument("--compress_output", "-co", action="store_true",
@@ -66,7 +72,8 @@ def main(argv=None):
     cfg = PostprocessConfig(
         undirectional=args.undirectional, trim=args.trim,
         barcoded=args.barcoded, group_size=args.groupSize,
-        threads=args.threads, compress=args.compress_output)
+        threads=args.threads, compress=args.compress_output,
+        resume=args.resume)
     stats = run_postprocess(args.input_fasta_file, args.output_path,
                             args.adapter_file, args.index_file, cfg, backend)
     print(f"postprocessed: {stats.written}/{stats.total} written "

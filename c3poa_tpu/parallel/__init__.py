@@ -1,1 +1,7 @@
-from .mesh import make_mesh, sharded_locate, sharded_step
+"""Multi-host / multi-chip parallelism.
+
+Import submodules directly (``parallel.dist``, ``parallel.mesh``) — this
+package deliberately re-exports nothing: ``mesh`` pulls in the device
+kernels, whose module-level jnp constants initialize the XLA backend, and
+``dist.initialize`` must run *before* that happens in multi-process runs.
+"""

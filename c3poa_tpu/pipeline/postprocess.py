@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import dataclasses
 import gzip
+import json
 import os
 from typing import NamedTuple
 
@@ -36,6 +37,7 @@ import numpy as np
 
 from ..io.fastx import read_fastx
 from ..ref.lev import sliding_min_distance
+from ..utils.progress import Progress
 from ..utils.seqs import encode, revcomp, revcomp_encoded
 
 
@@ -45,8 +47,13 @@ class PostprocessConfig:
     trim: bool = False            # -t
     barcoded: bool = False        # -b
     group_size: int = 1000        # -g
-    threads: int = 1              # -n (CPU path)
+    threads: int = 1              # -n: whole groups fan out to spawn
+                                  # workers (reference chunked mp,
+                                  # C3POa_postprocessing.py:128-161)
     compress: bool = False        # -co
+    resume: bool = False          # continue an interrupted run (the
+                                  # reference's PSL-cache role,
+                                  # C3POa_postprocessing.py:231)
     score_min: int = 10           # BLAT matches>10 analogue
 
 
@@ -89,7 +96,9 @@ def extract_hits(combo_meta, s1, j1, qe1, ts1, qs1, s2, score_min):
 
 
 class _Writers:
-    """Lazy output files per demux directory ('' = out root)."""
+    """Lazy output files per demux directory ('' = out root);
+    resume-capable (uncompressed only): files restore to the last
+    checkpointed byte size and append."""
 
     FLC = "R2C2_full_length_consensus_reads.fasta"
     LEFT = "R2C2_full_length_consensus_reads_left_splint.fasta"
@@ -97,9 +106,10 @@ class _Writers:
     TENX = "R2C2_full_length_consensus_reads_10X_sequences.fasta"
     MUX = "R2C2_oligodT_multiplexing.tsv"
 
-    def __init__(self, out_path, compress):
+    def __init__(self, out_path, compress, restore_sizes=None):
         self.out_path = out_path
         self.compress = compress
+        self.restore_sizes = restore_sizes or {}
         self._h: dict = {}
 
     def _open(self, *parts):
@@ -107,8 +117,13 @@ class _Writers:
         if key not in self._h:
             path = os.path.join(self.out_path, *parts)
             os.makedirs(os.path.dirname(path), exist_ok=True)
+            rel = "/".join(parts)
             if self.compress and not path.endswith(".tsv"):
                 self._h[key] = gzip.open(path + ".gz", "wt")
+            elif rel in self.restore_sizes and os.path.exists(path):
+                with open(path, "r+b") as fh:
+                    fh.truncate(self.restore_sizes[rel])
+                self._h[key] = open(path, "a")
             else:
                 self._h[key] = open(path, "w")
         return self._h[key]
@@ -125,9 +140,46 @@ class _Writers:
     def mux(self):
         return self._open(self.MUX)
 
+    def sizes(self) -> dict:
+        out = {}
+        for key, fh in self._h.items():
+            fh.flush()
+            out["/".join(key)] = fh.tell()
+        return out
+
     def close(self):
         for fh in self._h.values():
             fh.close()
+
+
+class _MemWriters:
+    """Writer-compatible collector for multiprocessing workers: output
+    text returns to the parent, which writes it in group order."""
+
+    def __init__(self):
+        self._h: dict = {}
+
+    def _open(self, *parts):
+        key = "/".join(parts)
+        if key not in self._h:
+            import io
+            self._h[key] = io.StringIO()
+        return self._h[key]
+
+    def trio(self, subdir):
+        parts = (subdir,) if subdir else ()
+        return (self._open(*parts, _Writers.FLC),
+                self._open(*parts, _Writers.LEFT),
+                self._open(*parts, _Writers.RIGHT))
+
+    def tenx(self):
+        return self._open(_Writers.TENX)
+
+    def mux(self):
+        return self._open(_Writers.MUX)
+
+    def blobs(self) -> dict:
+        return {k: v.getvalue() for k, v in self._h.items()}
 
 
 @dataclasses.dataclass
@@ -198,10 +250,55 @@ def _process_read(name, sequence, hits, cfg, writers, idx_to_seq, seq_to_idx,
     stats.written += 1
 
 
+MANIFEST = ".c3poa_post_progress.json"
+
+
+def _resume_key(input_fasta, adapter_fasta, index_fasta,
+                cfg: PostprocessConfig) -> dict:
+    return {
+        "input": os.path.abspath(input_fasta),
+        "adapters": os.path.abspath(adapter_fasta),
+        "indexes": os.path.abspath(index_fasta) if index_fasta else None,
+        "undirectional": cfg.undirectional, "trim": cfg.trim,
+        "barcoded": cfg.barcoded, "group_size": cfg.group_size,
+        "score_min": cfg.score_min,
+    }
+
+
+def _post_group_worker(payload):
+    """Runs in a worker process (numpy backend only — no jax import)."""
+    from .backend import NumpyBackend
+    group, combo_meta, combo_codes, cfg, idx_to_seq, seq_to_idx = payload
+    stats = PostprocessStats()
+    writers = _MemWriters()
+    _process_group(group, combo_meta, combo_codes, cfg, NumpyBackend(),
+                   writers, idx_to_seq, seq_to_idx, stats)
+    return writers.blobs(), dataclasses.asdict(stats)
+
+
+def _read_groups(path: str, group_size: int):
+    group: list = []
+    for rec in read_fastx(path):
+        group.append(rec)
+        if len(group) == group_size:
+            yield group
+            group = []
+    if group:
+        yield group
+
+
 def run_postprocess(input_fasta: str, out_path: str, adapter_fasta: str,
                     index_fasta: str | None = None,
                     cfg: PostprocessConfig | None = None,
                     backend=None) -> PostprocessStats:
+    """Adapter trim / reorient / demux over streamed read groups.
+
+    ``cfg.threads > 1`` fans whole groups to spawn workers (the
+    reference's chunked mp, C3POa_postprocessing.py:128-216) with
+    in-order parent writes; ``cfg.resume`` continues an interrupted run
+    byte-identically (the reference's PSL-cache role,
+    C3POa_postprocessing.py:231).
+    """
     cfg = cfg or PostprocessConfig()
     if backend is None:
         from .backend import NumpyBackend
@@ -225,19 +322,70 @@ def run_postprocess(input_fasta: str, out_path: str, adapter_fasta: str,
             seq_to_idx[r.seq] = r.name
 
     stats = PostprocessStats()
-    writers = _Writers(out_path, cfg.compress)
+    key = _resume_key(input_fasta, adapter_fasta, index_fasta, cfg)
+    manifest_path = os.path.join(out_path, MANIFEST)
+    skip_groups = 0
+    restore_sizes = None
+    if cfg.resume and not cfg.compress:
+        if os.path.exists(manifest_path):
+            try:
+                m = json.load(open(manifest_path))
+            except (OSError, ValueError):
+                m = None
+            if m and m.get("key") == key:
+                skip_groups = m["groups_done"]
+                restore_sizes = m["files"]
+                for f, v in m["stats"].items():
+                    setattr(stats, f, v)
+
+    writers = _Writers(out_path, cfg.compress, restore_sizes)
+    progress = Progress("c3poa-postprocess")
+
+    def checkpoint(gi):
+        if not cfg.compress:
+            with open(manifest_path, "w") as fh:
+                json.dump({"key": key, "groups_done": gi,
+                           "files": writers.sizes(),
+                           "stats": dataclasses.asdict(stats)}, fh)
+
+    use_mp = cfg.threads > 1 and not getattr(backend, "supports_overlap",
+                                             False)
     try:
-        group: list = []
-        for rec in read_fastx(input_fasta):
-            group.append(rec)
-            if len(group) == cfg.group_size:
+        if use_mp:
+            import multiprocessing as mp
+
+            ctx = mp.get_context("spawn")
+
+            def payloads():
+                for gi, group in enumerate(_read_groups(input_fasta,
+                                                        cfg.group_size)):
+                    if gi < skip_groups:
+                        continue
+                    yield (group, combo_meta, combo_codes, cfg,
+                           idx_to_seq, seq_to_idx)
+
+            gi = skip_groups
+            with ctx.Pool(cfg.threads) as pool:
+                for blobs, wstats in pool.imap(_post_group_worker,
+                                               payloads()):
+                    gi += 1
+                    for rel, text in blobs.items():
+                        writers._open(*rel.split("/")).write(text)
+                    for f, v in wstats.items():
+                        setattr(stats, f, getattr(stats, f) + v)
+                    progress.update(wstats["total"])
+                    checkpoint(gi)
+        else:
+            for gi, group in enumerate(_read_groups(input_fasta,
+                                                    cfg.group_size)):
+                if gi < skip_groups:
+                    continue
                 _process_group(group, combo_meta, combo_codes, cfg, backend,
                                writers, idx_to_seq, seq_to_idx, stats)
-                group = []
-        if group:
-            _process_group(group, combo_meta, combo_codes, cfg, backend,
-                           writers, idx_to_seq, seq_to_idx, stats)
+                progress.update(len(group))
+                checkpoint(gi + 1)
     finally:
+        progress.close()
         writers.close()
     return stats
 

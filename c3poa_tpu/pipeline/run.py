@@ -41,6 +41,7 @@ from ..consensus.engine import (
 )
 from ..io.fastx import read_fastx
 from ..utils import prof
+from ..utils.progress import Progress
 from ..utils.seqs import decode, encode, phred_to_array, revcomp_encoded
 from .backend import Combo, NumpyBackend
 from .segment import segment_read
@@ -62,6 +63,10 @@ class PipelineConfig:
                                    # bin/preprocess.py:17)
     splint_min_score: int = 50     # no-splint analogue of BLAT matches>50
                                    # (bin/preprocess.py:32)
+    # multi-host sharding (parallel/dist.py): host h processes read groups
+    # g with g % process_count == h and writes under out/host_<h>/
+    process_index: int = 0
+    process_count: int = 1
     cons: ConsensusParams = dataclasses.field(default_factory=ConsensusParams)
 
     def resume_key(self, reads_path, splint_path) -> dict:
@@ -71,6 +76,7 @@ class PipelineConfig:
             "lencutoff": self.lencutoff, "mdistcutoff": self.mdistcutoff,
             "zero": self.zero, "group_size": self.group_size,
             "compress": self.compress,
+            "process": [self.process_index, self.process_count],
         }
 
 
@@ -178,12 +184,12 @@ class _MemoryWriters:
 
 def _group_worker(payload):
     """Runs in a worker process (numpy backend only — no jax import)."""
-    group, combos, cfg = payload
+    gi, group, combos, cfg = payload
     stats = PipelineStats()
     stats.total_reads = len(group)
     writers = _MemoryWriters()
     _process_group(group, combos, cfg, NumpyBackend(), writers, stats)
-    return writers.blobs(), dataclasses.asdict(stats)
+    return gi, writers.blobs(), dataclasses.asdict(stats)
 
 
 def _load_manifest(out_path: str, key: dict):
@@ -202,6 +208,17 @@ def run_pipeline(reads_path: str, splint_path: str, out_path: str,
                  ) -> PipelineStats:
     cfg = cfg or PipelineConfig()
     backend = backend or NumpyBackend()
+
+    # multi-host: this host works under out/host_<h>/ on its round-robin
+    # share of the groups; host trees are written plain and compressed (if
+    # requested) at merge time, where byte spans interleave by group index
+    multihost = cfg.process_count > 1
+    root_out = out_path
+    final_compress = cfg.compress
+    if multihost:
+        out_path = os.path.join(out_path, f"host_{cfg.process_index}")
+        cfg = dataclasses.replace(cfg, compress=False)
+
     os.makedirs(out_path, exist_ok=True)
     profiler = prof.reset()
 
@@ -217,11 +234,13 @@ def run_pipeline(reads_path: str, splint_path: str, out_path: str,
     key = cfg.resume_key(reads_path, splint_path)
     skip_groups = 0
     restore_sizes = None
+    span_groups: list = []   # multihost: per-group cumulative file sizes
     if cfg.resume and not cfg.compress:
         manifest = _load_manifest(out_path, key)
         if manifest:
             skip_groups = manifest["groups_done"]
             restore_sizes = manifest["files"]
+            span_groups = manifest.get("span_groups", [])
             for f, v in manifest["stats"].items():
                 setattr(stats, f, v)
 
@@ -233,12 +252,22 @@ def run_pipeline(reads_path: str, splint_path: str, out_path: str,
     use_mp = (not overlap) and cfg.num_threads > 1
     executor = ThreadPoolExecutor(max_workers=1) if overlap else None
 
+    def mine(gi):
+        """Does this host own 1-based group gi?"""
+        return (gi - 1) % cfg.process_count == cfg.process_index
+
     def checkpoint(gi):
         if not cfg.compress:
+            sizes = writers.sizes()
+            if multihost:
+                span_groups.append({"gi": gi, "sizes": sizes})
             with open(manifest_path, "w") as fh:
                 json.dump({"key": key, "groups_done": gi,
-                           "files": writers.sizes(),
-                           "stats": dataclasses.asdict(stats)}, fh)
+                           "files": sizes,
+                           "stats": dataclasses.asdict(stats),
+                           "span_groups": span_groups}, fh)
+
+    progress = Progress("c3poa")
 
     def finish(gi, group, prelocated):
         stats.total_reads += len(group)
@@ -246,6 +275,7 @@ def run_pipeline(reads_path: str, splint_path: str, out_path: str,
         _process_group(group, combos, cfg, backend, writers, stats,
                        prelocated)
         stats.short_reads = filter_stats.short_reads
+        progress.update(len(group))
         checkpoint(gi)
 
     try:
@@ -254,14 +284,15 @@ def run_pipeline(reads_path: str, splint_path: str, out_path: str,
         filter_stats = PipelineStats()
         if use_mp:
             _run_groups_mp(reads_path, combos, cfg, writers, stats,
-                           filter_stats, skip_groups, checkpoint, profiler)
+                           filter_stats, skip_groups, mine, checkpoint,
+                           profiler, progress)
         else:
             gi = 0
             pending = None  # (gi, group, future)
             for group in _read_groups(reads_path, cfg.lencutoff,
                                       cfg.group_size, filter_stats):
                 gi += 1
-                if gi <= skip_groups:
+                if gi <= skip_groups or not mine(gi):
                     continue
                 if executor is not None:
                     # locate group g+1 on a worker thread while group g's
@@ -281,15 +312,34 @@ def run_pipeline(reads_path: str, splint_path: str, out_path: str,
     finally:
         if executor is not None:
             executor.shutdown(wait=True)
+        progress.close()
         writers.close()
 
     _write_log(out_path, stats)
     profiler.dump(os.path.join(out_path, "c3poa_stats.json"))
+
+    if multihost:
+        from ..parallel import dist
+
+        # every host streams the whole fastq, so each counts ALL short
+        # reads — only host 0 contributes them to the global sum
+        contrib = dataclasses.asdict(stats)
+        if cfg.process_index != 0:
+            contrib["short_reads"] = 0
+        # the collective is also the completion barrier: when it returns,
+        # every host has closed its output files
+        totals = dist.allreduce_stats(contrib)
+        gstats = PipelineStats(**totals)
+        if cfg.process_index == 0:
+            dist.merge_host_outputs(root_out, cfg.process_count,
+                                    compress=final_compress)
+            _write_log(root_out, gstats)
+        return gstats
     return stats
 
 
 def _run_groups_mp(reads_path, combos, cfg, writers, stats, filter_stats,
-                   skip_groups, checkpoint, profiler):
+                   skip_groups, mine, checkpoint, profiler, progress):
     """CPU multiprocessing: whole read groups fan out to worker processes
     (spawn, like the reference C3POa.py:279); the parent writes returned
     blobs in group order, keeping deterministic output."""
@@ -302,14 +352,12 @@ def _run_groups_mp(reads_path, combos, cfg, writers, stats, filter_stats,
         for group in _read_groups(reads_path, cfg.lencutoff, cfg.group_size,
                                   filter_stats):
             gi += 1
-            if gi <= skip_groups:
+            if gi <= skip_groups or not mine(gi):
                 continue
-            yield group, combos, cfg
+            yield gi, group, combos, cfg
 
-    gi = skip_groups
     with ctx.Pool(cfg.num_threads) as pool:
-        for blobs, wstats in pool.imap(_group_worker, payloads()):
-            gi += 1
+        for gi, blobs, wstats in pool.imap(_group_worker, payloads()):
             for splint, (cons_txt, subs_txt) in blobs.items():
                 cons_fh, subs_fh = writers.get(splint)
                 cons_fh.write(cons_txt)
@@ -319,6 +367,7 @@ def _run_groups_mp(reads_path, combos, cfg, writers, stats, filter_stats,
             stats.consensus_written += wstats["consensus_written"]
             profiler.count("reads", wstats["total_reads"])
             stats.short_reads = filter_stats.short_reads
+            progress.update(wstats["total_reads"])
             checkpoint(gi)
 
 

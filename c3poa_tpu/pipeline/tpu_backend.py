@@ -78,7 +78,11 @@ def _batch_size(n_items: int, budget_items: int) -> int:
 class TpuBackend:
     supports_overlap = True
 
-    def __init__(self, band: int | None = None, max_peaks: int = 128):
+    def __init__(self, band: int | None = None, max_peaks: int = 128,
+                 mesh=None):
+        """``mesh``: a 1-D ``jax.sharding.Mesh`` (axis "data") to shard
+        every kernel batch over the host's chips — the multi-chip
+        data-parallel execution path.  None = single-device jit."""
         import jax  # fail early if jax is unusable
 
         # persistent compilation cache: bucket shapes compile once per
@@ -92,7 +96,50 @@ class TpuBackend:
         except Exception:
             pass
         self.max_peaks = max_peaks
+        self.mesh = mesh
         self._splint_cache: dict = {}
+        self._sharded_fns: dict = {}
+
+    def _round_batch(self, B: int) -> int:
+        """Pad batch sizes to a multiple of the mesh size."""
+        if self.mesh is None:
+            return B
+        n = self.mesh.devices.size
+        return -(-B // n) * n
+
+    def _sharded_locate(self, tile: int):
+        """locate_device jitted with the batch dim sharded over the mesh
+        and the splint reference replicated (compiled once per tile)."""
+        key = ("locate", tile)
+        if key not in self._sharded_fns:
+            import jax
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..kernels.locate import locate_device
+            batch = NamedSharding(self.mesh, P("data"))
+            batch2 = NamedSharding(self.mesh, P("data", None))
+            repl = NamedSharding(self.mesh, P())
+            self._sharded_fns[key] = jax.jit(
+                lambda r, ln, s: locate_device(r, ln, s, tile=tile),
+                in_shardings=(batch2, batch, repl),
+                out_shardings=(batch, batch, batch2, batch2, batch))
+        return self._sharded_fns[key]
+
+    def _sharded_align(self, band, match, mismatch, gap_open, gap_ext):
+        key = ("align", band, match, mismatch, gap_open, gap_ext)
+        if key not in self._sharded_fns:
+            import jax
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            batch = NamedSharding(self.mesh, P("data"))
+            batch2 = NamedSharding(self.mesh, P("data", None))
+            self._sharded_fns[key] = jax.jit(
+                lambda q, t, ql, tl: banded_align_trace_batch(
+                    q, t, ql, tl, band=band, match=match, mismatch=mismatch,
+                    gap_open=gap_open, gap_ext=gap_ext),
+                in_shardings=(batch2, batch2, batch, batch),
+                out_shardings=(batch, batch, batch, batch2))
+        return self._sharded_fns[key]
 
     # ---------------- locate ----------------
 
@@ -138,7 +185,8 @@ class TpuBackend:
         tile = tile_for_distance(int(min_dist))
         launches = []
         for L, idxs in sorted(by_bucket.items()):
-            B = _batch_size(len(idxs), LOCATE_BUDGET // (C * L))
+            B = self._round_batch(_batch_size(len(idxs),
+                                              LOCATE_BUDGET // (C * L)))
             for start in range(0, len(idxs), B):
                 chunk = idxs[start:start + B]
                 R = np.full((B, L), 4, dtype=np.int8)
@@ -147,7 +195,10 @@ class TpuBackend:
                     codes = reads[i][:L]
                     R[r, :len(codes)] = codes
                     lens[r] = len(codes)
-                res = locate_device(R, lens, S, tile=tile)
+                if self.mesh is not None:
+                    res = self._sharded_locate(tile)(R, lens, S)
+                else:
+                    res = locate_device(R, lens, S, tile=tile)
                 launches.append((chunk, res))
         for chunk, (combo, score, cand_pos, cand_h, _med) in launches:
             combo, score = np.asarray(combo), np.asarray(score)
@@ -240,7 +291,8 @@ class TpuBackend:
         # dispatch all chunks first (device runs ahead of host traceback)
         launches = []
         for (nq, nt), idxs in sorted(by_bucket.items()):
-            P = _batch_size(len(idxs), ALIGN_BUDGET // (nq * W))
+            P = self._round_batch(_batch_size(len(idxs),
+                                              ALIGN_BUDGET // (nq * W)))
             for start in range(0, len(idxs), P):
                 chunk = idxs[start:start + P]
                 Q = np.full((P, nq), 4, dtype=np.int8)
@@ -252,10 +304,15 @@ class TpuBackend:
                     Q[r, :len(q)] = q
                     T[r, :len(t)] = t
                     ql[r], tl[r] = len(q), len(t)
-                res = banded_align_trace_batch(
-                    Q, T, ql, tl, band=W, match=params.match,
-                    mismatch=params.mismatch, gap_open=params.gap_open,
-                    gap_ext=params.gap_ext)
+                if self.mesh is not None:
+                    res = self._sharded_align(
+                        W, params.match, params.mismatch, params.gap_open,
+                        params.gap_ext)(Q, T, ql, tl)
+                else:
+                    res = banded_align_trace_batch(
+                        Q, T, ql, tl, band=W, match=params.match,
+                        mismatch=params.mismatch, gap_open=params.gap_open,
+                        gap_ext=params.gap_ext)
                 launches.append((chunk, res))
         for chunk, (scores, j_ends, _j_starts, ops) in launches:
             scores = np.asarray(scores)

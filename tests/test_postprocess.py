@@ -201,3 +201,88 @@ def test_adapter_dimer_rejected_single_copy_accepted():
         [encode(single), encode(dimer)], combo_codes, combo_lens)
     assert int(res_t[5][0, 0]) == s2_s
     assert int(res_t[5][1, 0]) == s2_d
+
+
+def _make_post_inputs(d, n_reads=25, seed=21):
+    rng = np.random.default_rng(seed)
+    indexes = {f"Index{i}": sim.random_seq(np.random.default_rng(300 + i), 10)
+               for i in range(1, 5)}
+    with open(d / "cons.fasta", "w") as fh:
+        for i in range(n_reads):
+            name, seq, _ = sim.make_consensus_like(
+                rng, f"c_{i}", cdna_len=400,
+                index=indexes[f"Index{(i % 4) + 1}"],
+                direction="+" if i % 2 == 0 else "-", error=0.01)
+            fh.write(f">{name}\n{seq}\n")
+    sim.write_fasta(str(d / "adapters.fasta"), dict(sim.DEFAULT_ADAPTERS))
+    sim.write_fasta(str(d / "indexes.fasta"), indexes)
+
+
+def _tree_bytes(out):
+    tree = {}
+    for root, _dirs, files in os.walk(out):
+        for f in files:
+            if f.startswith("."):
+                continue
+            p = os.path.join(root, f)
+            tree[os.path.relpath(p, out)] = open(p, "rb").read()
+    return tree
+
+
+def test_postprocess_mp_matches_serial(tmp_path):
+    """-n 4 (whole groups over spawn workers) is byte-identical to -n 1."""
+    _make_post_inputs(tmp_path)
+    out1, out4 = str(tmp_path / "o1"), str(tmp_path / "o4")
+    s1 = run_postprocess(str(tmp_path / "cons.fasta"), out1,
+                         str(tmp_path / "adapters.fasta"),
+                         str(tmp_path / "indexes.fasta"),
+                         PostprocessConfig(trim=True, group_size=7))
+    s4 = run_postprocess(str(tmp_path / "cons.fasta"), out4,
+                         str(tmp_path / "adapters.fasta"),
+                         str(tmp_path / "indexes.fasta"),
+                         PostprocessConfig(trim=True, group_size=7,
+                                           threads=4))
+    assert s1 == s4
+    assert _tree_bytes(out1) == _tree_bytes(out4)
+
+
+def test_postprocess_resume(tmp_path):
+    """Interrupt after 2 groups; --resume completes byte-identically."""
+    from c3poa_tpu.pipeline import postprocess as pp
+
+    _make_post_inputs(tmp_path)
+    args = (str(tmp_path / "cons.fasta"),)
+    kw = dict(adapter_fasta=str(tmp_path / "adapters.fasta"),
+              index_fasta=str(tmp_path / "indexes.fasta"))
+
+    full = str(tmp_path / "full")
+    run_postprocess(*args, out_path=full,
+                    cfg=PostprocessConfig(trim=True, group_size=7), **kw)
+
+    part = str(tmp_path / "part")
+    calls = 0
+    orig = pp._process_group
+
+    def bomb(*a, **k):
+        nonlocal calls
+        calls += 1
+        if calls > 2:
+            raise RuntimeError("simulated crash")
+        return orig(*a, **k)
+
+    pp._process_group = bomb
+    try:
+        with pytest.raises(RuntimeError):
+            run_postprocess(*args, out_path=part,
+                            cfg=PostprocessConfig(trim=True, group_size=7),
+                            **kw)
+    finally:
+        pp._process_group = orig
+
+    stats = run_postprocess(*args, out_path=part,
+                            cfg=PostprocessConfig(trim=True, group_size=7,
+                                                  resume=True), **kw)
+    t_full, t_part = _tree_bytes(full), _tree_bytes(part)
+    t_part = {k: v for k, v in t_part.items()}
+    assert t_full == t_part
+    assert stats.total == 25
