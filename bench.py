@@ -9,10 +9,12 @@ ONE JSON line:
     {"metric": "...", "value": N, "unit": "reads/s", "vs_baseline": N}
 
 vs_baseline is measured against this machine's CPU running the same
-algorithms (numpy backend) scaled to the reference's 32-thread usage
-example (README.md:67: -n 32) — the reference itself cannot run here (its
-native deps conk/abpoa/racon/blat are not installed), so the proxy is
-measured, not assumed: baseline = numpy-backend reads/s x 32.
+algorithms (numpy backend) in the reference's 32-worker usage shape
+(README.md:67: -n 32) — the reference itself cannot run here (its native
+deps conk/abpoa/racon/blat are not installed).  The baseline is measured
+on >=64 reads as max(real 32-worker mp run, 32 x measured single-thread
+rate); the numpy-vs-C inner-loop bias is quantified separately
+(tools/bias_bench.py, BENCHMARKS.md).
 """
 
 from __future__ import annotations
@@ -36,39 +38,64 @@ def make_dataset(path, n_reads, seed=0):
     return reads
 
 
-def run_once(path, out, backend, group_size=1000):
+def run_once(path, out, backend, group_size=1000, num_threads=1):
     from c3poa_tpu.pipeline.run import PipelineConfig, run_pipeline
     t0 = time.time()
     stats = run_pipeline(
         os.path.join(path, "reads.fastq"), os.path.join(path, "splint.fasta"),
-        out, PipelineConfig(group_size=group_size), backend)
+        out, PipelineConfig(group_size=group_size, num_threads=num_threads),
+        backend)
     dt = time.time() - t0
     return stats, dt
 
 
 BASELINE_CACHE = os.path.expanduser("~/.cache/c3poa_bench_baseline.json")
+BASELINE_VERSION = 2  # v2: measured -n 32 mp run on >=64 reads
 
 
-def cpu_proxy_baseline(d: str) -> float:
-    """1-thread numpy-backend reads/s on the benchmark distribution —
-    measured once per machine and cached (it is minutes of pure-python DP).
+def cpu_proxy_baseline(d: str) -> dict:
+    """Measured CPU proxy baseline (reference usage: -n 32,
+    README.md:67), cached once per machine in BASELINE_CACHE.
+
+    Two measurements on >=64 reads of the benchmark distribution:
+    - t1: single-thread numpy-backend reads/s;
+    - t32: the real spawn-pool path (run.py) with 32 workers on this
+      machine's cores.
+    The recorded baseline is max(t32, 32 * t1) — the stronger of the
+    measured multiprocess run and perfect 32-way scaling of the measured
+    single-thread rate (conservative: overstates the baseline on hosts
+    with fewer than 32 cores).  See tools/bias_bench.py and
+    BENCHMARKS.md for the quantified numpy-vs-C inner-loop bias.
     """
     if os.path.exists(BASELINE_CACHE):
         try:
-            return json.load(open(BASELINE_CACHE))["reads_per_sec"]
+            cached = json.load(open(BASELINE_CACHE))
+            if cached.get("version") == BASELINE_VERSION:
+                return cached
         except (OSError, ValueError, KeyError):
             pass
     from c3poa_tpu.pipeline.backend import NumpyBackend
+    n_base = int(os.environ.get("BENCH_BASE_READS", "64"))
     base_dir = os.path.join(d, "base")
     os.makedirs(base_dir, exist_ok=True)
-    make_dataset(base_dir, int(os.environ.get("BENCH_BASE_READS", "3")),
-                 seed=2)
-    bstats, bdt = run_once(base_dir, os.path.join(base_dir, "out"),
-                           NumpyBackend())
-    r = bstats.total_reads / bdt
+    make_dataset(base_dir, n_base, seed=2)
+    s1, dt1 = run_once(base_dir, os.path.join(base_dir, "out1"),
+                       NumpyBackend())
+    t1 = s1.total_reads / dt1
+    s32, dt32 = run_once(base_dir, os.path.join(base_dir, "out32"),
+                         NumpyBackend(), group_size=max(2, n_base // 32),
+                         num_threads=32)
+    t32 = s32.total_reads / dt32
+    cached = {
+        "version": BASELINE_VERSION, "reads": n_base,
+        "cores": os.cpu_count(),
+        "t1_reads_per_sec": round(t1, 4),
+        "t32_reads_per_sec": round(t32, 4),
+        "baseline_32t": round(max(t32, 32 * t1), 4),
+    }
     os.makedirs(os.path.dirname(BASELINE_CACHE), exist_ok=True)
-    json.dump({"reads_per_sec": r}, open(BASELINE_CACHE, "w"))
-    return r
+    json.dump(cached, open(BASELINE_CACHE, "w"))
+    return cached
 
 
 def main():
@@ -84,7 +111,7 @@ def main():
             backend = NumpyBackend()
             name = "numpy"
 
-        base_reads_s = cpu_proxy_baseline(d)
+        base = cpu_proxy_baseline(d)
 
         # warmup: run the exact benchmark dataset once first — chunk batch
         # sizes depend on group population, so only the identical run
@@ -100,7 +127,7 @@ def main():
             stats, dt = stats2, dt2
         reads_s = stats.total_reads / dt
 
-        baseline_32t = base_reads_s * 32
+        baseline_32t = base["baseline_32t"]
         result = {
             "metric": f"consensus_reads_per_sec_1chip_{name}",
             "value": round(reads_s, 3),
@@ -109,8 +136,12 @@ def main():
         }
         print(json.dumps(result))
         print(f"# {stats.consensus_written}/{stats.total_reads} consensi in "
-              f"{dt:.1f}s ({name}); cpu-proxy 1-thread {base_reads_s:.2f} r/s, "
-              f"x32 baseline {baseline_32t:.2f} r/s", file=sys.stderr)
+              f"{dt:.1f}s ({name}); proxy baseline measured on "
+              f"{base['reads']} reads, {base['cores']} cores: 1-thread "
+              f"{base['t1_reads_per_sec']:.2f} r/s, -n 32 run "
+              f"{base['t32_reads_per_sec']:.2f} r/s, baseline "
+              f"{baseline_32t:.2f} r/s (cache {BASELINE_CACHE})",
+              file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -83,6 +83,14 @@ def get_lib():
     lib.c3_parse_fasta.argtypes = [u8p, i64, i8p, i64, i64p, i64p, i64]
     lib.c3_decode.restype = None
     lib.c3_decode.argtypes = [i8p, i64, u8p]
+    try:
+        lib.c3_dp_score.restype = i64
+        lib.c3_dp_score.argtypes = [
+            i8p, i64, i8p, i64, i64, i64, i64, i64, i64,
+            i64p, i64p, i64p, i64p, i64p,
+        ]
+    except AttributeError:  # stale .so without the bench symbol
+        pass
     _LIB = lib
     return _LIB
 
@@ -222,3 +230,26 @@ def parse_fastq_bytes(data: bytes):
         names = [data[name_span[2 * i]:name_span[2 * i + 1]].decode("ascii")
                  for i in range(r)]
         return names, seq_arena, qual_arena, offs[:r + 1]
+
+
+# ---------------- scalar-C DP (baseline-bias probe) ----------------
+
+def dp_score_c(q: np.ndarray, t: np.ndarray, match=5, mismatch=-4,
+               gap_open=4, gap_ext=2, band=128, work=None):
+    """Banded semiglobal DP score via the scalar C routine
+    (native/dpbench.c); measures what reference-grade C achieves on this
+    host vs the numpy rows of ref/banded.py.  Returns (score, j_end) or
+    None when the library lacks the symbol."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "c3_dp_score"):
+        return None
+    q = np.ascontiguousarray(q, dtype=np.int8)
+    t = np.ascontiguousarray(t, dtype=np.int8)
+    nt = len(t)
+    if work is None:
+        work = [np.empty(nt + 1, dtype=np.int64) for _ in range(4)]
+    j_end = np.zeros(1, dtype=np.int64)
+    score = lib.c3_dp_score(q, len(q), t, nt, match, mismatch,
+                            gap_open, gap_ext, band,
+                            work[0], work[1], work[2], work[3], j_end)
+    return int(score), int(j_end[0])

@@ -99,6 +99,7 @@ class TpuBackend:
         self.mesh = mesh
         self._splint_cache: dict = {}
         self._sharded_fns: dict = {}
+        self._seen_shapes: set = set()  # compile-count telemetry
 
     def _round_batch(self, B: int) -> int:
         """Pad batch sizes to a multiple of the mesh size."""
@@ -195,6 +196,16 @@ class TpuBackend:
                     codes = reads[i][:L]
                     R[r, :len(codes)] = codes
                     lens[r] = len(codes)
+                from ..utils import prof
+                prof.current.count("locate_launches")
+                prof.current.count("locate_cells_padded", B * L * C)
+                prof.current.count(
+                    "locate_cells_real",
+                    sum(min(len(reads[i]), L) for i in chunk) * C)
+                shape = ("locate", B, C, L, tile)
+                if shape not in self._seen_shapes:
+                    self._seen_shapes.add(shape)
+                    prof.current.count("locate_compiled_shapes")
                 if self.mesh is not None:
                     res = self._sharded_locate(tile)(R, lens, S)
                 else:
@@ -304,6 +315,13 @@ class TpuBackend:
                     Q[r, :len(q)] = q
                     T[r, :len(t)] = t
                     ql[r], tl[r] = len(q), len(t)
+                from ..utils import prof
+                prof.current.count("align_launches")
+                prof.current.count("align_cells_padded", P * nq * W)
+                shape = ("align", P, nq, nt, W)
+                if shape not in self._seen_shapes:
+                    self._seen_shapes.add(shape)
+                    prof.current.count("align_compiled_shapes")
                 if self.mesh is not None:
                     res = self._sharded_align(
                         W, params.match, params.mismatch, params.gap_open,

@@ -68,3 +68,25 @@ def test_native_fastq_parse():
     np.testing.assert_array_equal(seqs[offs[1]:offs[2]], [0, 1, 2, 3])
     np.testing.assert_array_equal(quals[offs[0]:offs[1]], [40] * 5)
     np.testing.assert_array_equal(quals[offs[1]:offs[2]], [0] * 4)
+
+
+def test_dp_score_c_matches_numpy():
+    """native/dpbench.c scores are bit-identical to ref.banded.banded_align
+    (same band placement, same tie rules) across shapes and bands."""
+    from c3poa_tpu import native
+    from c3poa_tpu.ref.banded import banded_align
+
+    if native.get_lib() is None or \
+            not hasattr(native.get_lib(), "c3_dp_score"):
+        import pytest
+        pytest.skip("native dp bench not built")
+    rng = np.random.default_rng(11)
+    for _ in range(40):
+        nq = int(rng.integers(10, 300))
+        nt = int(rng.integers(10, 400))
+        band = int(rng.choice([8, 16, 64, 128]))
+        q = rng.integers(0, 5, size=nq).astype(np.int8)
+        t = rng.integers(0, 4, size=nt).astype(np.int8)
+        s_np, j_np, _, _ = banded_align(q, t, band=band)
+        s_c, j_c = native.dp_score_c(q, t, band=band)
+        assert (s_c, j_c) == (int(s_np), int(j_np)), (nq, nt, band)

@@ -1,0 +1,119 @@
+#!/usr/bin/env python3
+"""Honest on-chip microbenchmarks: XLA-scan vs Pallas kernels.
+
+Measurement rules for this box's relayed TPU (ARCHITECTURE.md): fresh
+input buffers per repetition, outputs materialized with np.asarray
+(block_until_ready does not block through the relay), small reductions
+materialized instead of big blocks (device->host link is ~40-100 MB/s).
+
+Usage: python tools/kernel_bench.py [locate|align|all] [--sizes ...]
+"""
+
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def _time(fn, make_args, reps=3):
+    """Best-of-reps wall time with fresh buffers, materialized outputs."""
+    best = float("inf")
+    for _ in range(reps):
+        args = make_args()
+        t0 = time.perf_counter()
+        out = fn(*args)
+        if isinstance(out, tuple):
+            for o in out:
+                np.asarray(o)
+        else:
+            np.asarray(out)
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def bench_profile(shapes=((64, 8192), (512, 8192), (512, 32768))):
+    import jax
+    import jax.numpy as jnp
+
+    from c3poa_tpu.kernels.pallas_profile import start_profile_pallas
+    from c3poa_tpu.kernels.sw_profile import start_profile_batch
+
+    rng = np.random.default_rng(0)
+    m = 288
+    C = 2
+    splints = rng.integers(0, 4, size=(C, m)).astype(np.int8)
+
+    xla_red = jax.jit(lambda r, s: jnp.max(start_profile_batch(r, s), axis=2))
+    pal_red = jax.jit(lambda r, s: jnp.max(start_profile_pallas(r, s), axis=2))
+
+    for B, L in shapes:
+        cells = B * C * L * m
+
+        def mk():
+            return (rng.integers(0, 4, size=(B, L)).astype(np.int8), splints)
+
+        # warm both (compiles)
+        np.asarray(xla_red(*mk()))
+        np.asarray(pal_red(*mk()))
+        t_x = _time(xla_red, mk)
+        t_p = _time(pal_red, mk)
+        print(f"profile B={B} L={L} C={C} m={m}: "
+              f"xla {t_x * 1e3:7.1f} ms ({cells / t_x / 1e9:6.2f} G cells/s)  "
+              f"pallas {t_p * 1e3:7.1f} ms ({cells / t_p / 1e9:6.2f} G c/s)  "
+              f"speedup {t_x / t_p:4.1f}x", flush=True)
+
+
+def bench_align(shapes=((512, 2048, 128), (2048, 2048, 128))):
+    import jax
+    import jax.numpy as jnp
+
+    from c3poa_tpu.kernels.banded import banded_align_batch
+    from c3poa_tpu.kernels.pallas_banded import banded_fwd_pallas
+
+    rng = np.random.default_rng(1)
+
+    def xla_fn(q, t, ql, tl):
+        s, j, mv = banded_align_batch(q, t, ql, tl, band=W_CUR)
+        return s, j, jnp.max(mv)  # moves stay on device
+
+    def pal_fn(q, t, ql, tl):
+        s, j, mv = banded_fwd_pallas(q, t, ql, tl, band=W_CUR)
+        return s, j, jnp.max(mv)
+
+    for P, nq, W in shapes:
+        global W_CUR
+        W_CUR = W
+        nt = nq
+        cells = P * nq * W
+
+        def mk():
+            q = rng.integers(0, 4, size=(P, nq)).astype(np.int8)
+            t = q.copy()
+            ql = np.full(P, nq, dtype=np.int32)
+            tl = np.full(P, nt, dtype=np.int32)
+            return q, t, ql, tl
+
+        xj = jax.jit(xla_fn)
+        pj = jax.jit(pal_fn)
+        a = mk()
+        sx = [np.asarray(v) for v in xj(*a)]
+        sp = [np.asarray(v) for v in pj(*a)]
+        assert np.array_equal(sx[0], sp[0]), "score mismatch"
+        t_x = _time(xj, mk)
+        t_p = _time(pj, mk)
+        print(f"align P={P} nq={nq} W={W}: "
+              f"xla {t_x * 1e3:7.1f} ms ({cells / t_x / 1e9:6.2f} G cells/s)  "
+              f"pallas {t_p * 1e3:7.1f} ms ({cells / t_p / 1e9:6.2f} G c/s)  "
+              f"speedup {t_x / t_p:4.1f}x", flush=True)
+
+
+if __name__ == "__main__":
+    what = sys.argv[1] if len(sys.argv) > 1 else "all"
+    import jax
+    print("backend:", jax.default_backend(), jax.devices(), flush=True)
+    if what in ("profile", "all", "locate"):
+        bench_profile()
+    if what in ("align", "all"):
+        bench_align()
