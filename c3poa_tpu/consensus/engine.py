@@ -69,6 +69,11 @@ class ConsensusParams:
     z_gap_ext: int = 5
 
 
+def _native_available() -> bool:
+    from .. import native
+    return native.available()
+
+
 def serial_align_many(pairs, p: ConsensusParams) -> list[SubreadAln]:
     """Numpy fallback aligner (the TPU backend substitutes a batched one)."""
     out = []
@@ -166,22 +171,36 @@ def consensus_many(jobs: Sequence[ConsensusJob],
             a = SubreadAln(banded.embed_record(a.rec, offset, full_nt),
                            a.query, a.qual)
         by_owner.setdefault(ji, []).append(a)
-    for ji, job in enumerate(jobs):
-        if isinstance(cons[ji], tuple) and cons[ji][0] == "draft":
-            di = cons[ji][1]
-            draft = np.asarray(job.subreads[di], dtype=np.int8)
-            draft_q = np.asarray(job.sub_quals[di], dtype=np.int8)
-            others = by_owner.get(ji, [])
-            if p.pairwise and len(others) == 1:
-                # exactly two voters: the reference's 2-row quality merge
-                # (bin/consensus.py via bin/determine_consensus.py:33-41)
-                a = others[0]
-                cons[ji], cons_q[ji] = pairwise_merge(
-                    draft, draft_q, a.rec, a.query, a.qual)
-                continue
-            voters = [record_for_draft(draft, draft_q)] + others
-            cons[ji], cons_q[ji] = vote_consensus(
-                len(draft), voters, qmin=p.qmin)
+    def vote_job(ji):
+        job = jobs[ji]
+        di = cons[ji][1]
+        draft = np.asarray(job.subreads[di], dtype=np.int8)
+        draft_q = np.asarray(job.sub_quals[di], dtype=np.int8)
+        others = by_owner.get(ji, [])
+        if p.pairwise and len(others) == 1:
+            # exactly two voters: the reference's 2-row quality merge
+            # (bin/consensus.py via bin/determine_consensus.py:33-41)
+            a = others[0]
+            cons[ji], cons_q[ji] = pairwise_merge(
+                draft, draft_q, a.rec, a.query, a.qual)
+            return
+        voters = [record_for_draft(draft, draft_q)] + others
+        cons[ji], cons_q[ji] = vote_consensus(
+            len(draft), voters, qmin=p.qmin)
+
+    pending_votes = [ji for ji in range(n)
+                     if isinstance(cons[ji], tuple) and cons[ji][0] == "draft"]
+    # the C vote path releases the GIL: a small thread pool spreads the
+    # per-read votes over cores
+    from ..utils import prof
+    with prof.current.stage("vote"):
+        if len(pending_votes) > 16 and _native_available():
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(max_workers=4) as ex:
+                list(ex.map(vote_job, pending_votes))
+        else:
+            for ji in pending_votes:
+                vote_job(ji)
 
     # ---- rounds 2..R: racon role over core + dangling ----
     for _ in range(p.rounds - 1):

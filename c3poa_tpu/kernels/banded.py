@@ -168,8 +168,11 @@ def banded_align_batch(queries: jax.Array, targets: jax.Array,
 
     # unroll rows per scan step: the per-step state round-trip (HBM) and
     # loop overhead dominate the tiny (P, W) row work
-    UNROLL = 4
-    assert nq_max % UNROLL == 0, nq_max
+    UNROLL = int(__import__("os").environ.get("C3POA_FWD_UNROLL", "4"))
+    if nq_max % UNROLL:
+        queries = jnp.pad(queries, ((0, 0), (0, UNROLL - nq_max % UNROLL)),
+                          constant_values=4)
+        nq_max = queries.shape[1]
 
     def step_u(carry, i0):
         mvs = []
@@ -193,6 +196,72 @@ def banded_align_batch(queries: jax.Array, targets: jax.Array,
 OP_NONE, OP_DIAG, OP_INS, OP_DEL = 0, 1, 2, 3
 
 
+@partial(jax.jit, static_argnames=("band",))
+def walk_ops_packed(mvp: jax.Array, q_lens: jax.Array, t_lens: jax.Array,
+                    j_end: jax.Array, band: int):
+    """Reverse path walk over nibble-packed move words.
+
+    mvp: (P, nq_pad/8, W) int32 from the Pallas forward — row i's move
+    byte is nibble (i-1) % 8 of word (i-1)//8.  Same walk as
+    banded_align_trace_batch; returns (j_start, i_rem, ops)."""
+    P, nq8, W = mvp.shape
+    nq_max = nq8 * 8
+    q_lens = q_lens.astype(jnp.int32)
+    t_lens = t_lens.astype(jnp.int32)
+    hi = jnp.maximum(t_lens + 1 - W, 0)
+    mvp_flat = mvp.reshape(P, nq8 * W)
+    parr = jnp.arange(P, dtype=jnp.int32)
+
+    def lo_of(i):
+        i_eff = jnp.minimum(i, q_lens).astype(jnp.float32)
+        ctr = jnp.round(i_eff * t_lens.astype(jnp.float32) /
+                        jnp.maximum(q_lens, 1).astype(jnp.float32))
+        return jnp.clip(ctr.astype(jnp.int32) - W // 2, 0, hi)
+
+    def walk(carry, _):
+        i, j, st = carry
+        active = i > 0
+        k = j - lo_of(i)
+        im1 = jnp.clip(i - 1, 0, nq_max - 1)
+        flat = (im1 // 8) * W + jnp.clip(k, 0, W - 1)
+        word = mvp_flat[parr, flat]
+        mv = (word >> (4 * (im1 % 8))) & 0xF
+        src = mv & 3
+        is_e = (st == 1) | ((st == 0) & (src == 1))
+        is_f = (st == 2) | ((st == 0) & (src == 2))
+        is_d = (st == 0) & (src == 0)
+        op = jnp.where(
+            active,
+            jnp.where(is_d, OP_DIAG,
+                      jnp.where(is_e, OP_INS, OP_DEL)),
+            OP_NONE).astype(jnp.uint8)
+        dec_i = active & (is_d | is_e)
+        dec_j = active & (is_d | is_f)
+        e_ext = (mv & 4) != 0
+        f_ext = (mv & 8) != 0
+        st_next = jnp.where(
+            is_e & e_ext, 1,
+            jnp.where(is_f & f_ext, 2, 0)).astype(jnp.int32)
+        st_next = jnp.where(active, st_next, st)
+        return (i - dec_i.astype(jnp.int32),
+                j - dec_j.astype(jnp.int32), st_next), op
+
+    UNROLL = 4
+    n_steps = -(-(nq_max + W + 64) // UNROLL)
+
+    def walk_u(carry, _):
+        opss = []
+        for _k in range(UNROLL):
+            carry, op = walk(carry, None)
+            opss.append(op)
+        return carry, jnp.stack(opss, axis=1)
+
+    init = (q_lens, j_end.astype(jnp.int32), jnp.zeros(P, dtype=jnp.int32))
+    (i_f, j_f, _st), ops = jax.lax.scan(walk_u, init, None, length=n_steps)
+    ops = jnp.transpose(ops, (1, 0, 2)).reshape(P, n_steps * UNROLL)
+    return j_f, i_f, ops
+
+
 @partial(jax.jit, static_argnames=("band", "match", "mismatch",
                                    "gap_open", "gap_ext"))
 def banded_align_trace_batch(queries: jax.Array, targets: jax.Array,
@@ -209,8 +278,15 @@ def banded_align_trace_batch(queries: jax.Array, targets: jax.Array,
     cell decide continuation), so the walk takes exactly
     path_length <= nq + nt steps.
 
-    Returns (scores (P,), j_end (P,), j_start (P,), ops (P, nq_max+nt_max)
-    uint8 in walk order, i.e. from the path end backwards).
+    Returns (scores (P,), j_end (P,), j_start (P,), i_rem (P,),
+    ops (P, n_ops) uint8 in walk order, i.e. from the path end backwards).
+
+    The walk runs nq_max + W + 64 steps, not nq_max + nt_max: the path
+    consumes exactly ql query chars (diag+ins) and its deletions are
+    bounded by the band drift, so real paths fit comfortably; a pair
+    whose path is longer (pathological all-deletion tails) finishes with
+    ``i_rem > 0`` and the caller must realign it on the host
+    (tpu_backend routes those through serial_align_many).
     Host-side record building: native c3_ops_record / ops_to_record.
     """
     P, nq_max = queries.shape
@@ -261,7 +337,7 @@ def banded_align_trace_batch(queries: jax.Array, targets: jax.Array,
 
     # unrolled walk: same per-step-overhead amortization as the forward scan
     UNROLL = 4
-    n_steps = -(-(nq_max + nt_max) // UNROLL)
+    n_steps = -(-(nq_max + W + 64) // UNROLL)
 
     def walk_u(carry, _):
         opss = []
@@ -274,7 +350,7 @@ def banded_align_trace_batch(queries: jax.Array, targets: jax.Array,
             jnp.zeros(P, dtype=jnp.int32))
     (i_f, j_f, _st), ops = jax.lax.scan(walk_u, init, None, length=n_steps)
     ops = jnp.transpose(ops, (1, 0, 2)).reshape(P, n_steps * UNROLL)
-    return scores, j_end, j_f, ops
+    return scores, j_end, j_f, i_f, ops
 
 
 def ops_to_record(q: np.ndarray, t: np.ndarray, ops: np.ndarray,

@@ -24,14 +24,16 @@ from .sw_profile import start_profile_batch
 def _profile_impl(reads, splints):
     """Profile kernel selection.
 
-    The Pallas kernel (kernels/pallas_profile.py) is bit-identical and
-    compute-optimal, but on this environment's relayed TPU runtime each
-    pallas_call carries ~100-200ms fixed dispatch overhead that swamps its
-    gain; the XLA scan is the default.  Set C3POA_USE_PALLAS=1 on directly
-    attached TPU hosts."""
+    The Pallas kernel (kernels/pallas_profile.py) is bit-identical and the
+    default on accelerators: measured on the v5e it sustains 15.1 G
+    cells/s at (512, 32768, C=2, m=288) vs 3.2 G for the XLA scan — a
+    4.8x speedup that holds from B=64 up (tools/kernel_bench.py).  The
+    XLA scan remains the CPU/test path and the fallback for shapes the
+    kernel's tiling cannot take (B % 8 or L % 2048 != 0 — the backend's
+    buckets always satisfy both).  Set C3POA_USE_PALLAS=0 to force XLA."""
     import os
     B, L = reads.shape
-    if os.environ.get("C3POA_USE_PALLAS") and \
+    if os.environ.get("C3POA_USE_PALLAS", "1") != "0" and \
             jax.default_backend() not in ("cpu",) and \
             B % 8 == 0 and L % 2048 == 0:
         from .pallas_profile import start_profile_pallas

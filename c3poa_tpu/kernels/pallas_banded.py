@@ -1,21 +1,32 @@
 """Pallas TPU forward kernel for the banded affine semiglobal aligner.
 
 Bit-identical to kernels/banded.py:banded_align_batch (the ref/banded.py
-spec); the XLA scan version spends ~95% of its time on per-step overhead
-and small gathers, while this kernel keeps all DP state in registers/VMEM.
+spec).  The XLA scan's cost on this hardware is per-row overhead — its
+per-row (P, R) refill gather alone costs ~0.14 us/element (gathers are
+catastrophically slow on this TPU) and halving the band leaves its time
+unchanged — while this kernel keeps all DP state in VMEM registers and
+touches HBM only for the packed move words.
 
-Mosaic has no dynamic *lane* indexing, so the two per-row dynamic accesses
-are restructured:
-- the query char of row i (same i for every pair) comes from one dynamic
-  roll of the (P_TILE, nq) query block;
-- the per-pair band target window lives in a carried (P_TILE, W + STAGE)
-  buffer, shifted by the per-pair band advance s in {0..SMAX} via selects
-  over static shifts, and restocked every REFILL_EVERY rows with per-pair
-  dynamic rolls of the full target row (each pair's target fits VMEM).
+Design (v2, post-profiling):
+- P_TILE = 16 pairs per grid step: every elementwise op covers two
+  native (8, 128) tiles, halving per-row fixed cost vs P_TILE = 8.
+- the query char of row i comes from a carried (P_TILE, QW) window
+  shifted one lane per row and restocked every QW rows with one roll of
+  the full query block (the old per-row roll of the whole (P_TILE, nq)
+  block was ~16 lane-tiles per row by itself).
+- the per-pair band target window lives in a carried
+  (P_TILE, W + STAGE) buffer, shifted by the per-pair band advance
+  s in {0..SMAX} via selects over static shifts and restocked every
+  REFILL_EVERY rows with per-pair rolls of the full target row.
+- Hp (the aligned previous row) is derived from Hd (the diagonal shift)
+  with one static roll + lane fix instead of a second SMAX-way select.
+- move nibbles pack 8 DP rows into one int32 word: the kernel writes
+  (P, nq/8, W) int32 — 8x fewer stores and half the bytes of the uint8
+  block — flushed in sublane-aligned groups of 8 words (64 DP rows).
 
-Outputs match banded_align_batch: scores, j_end, and the (P, nq, W) move
-bytes (written per row; the on-device ops walk from kernels/banded.py
-consumes them unchanged).
+``banded_align_trace_pallas`` chains this forward with the same
+reverse-walk scan as banded_align_trace_batch reading the packed words,
+so the pipeline consumes identical (scores, j_end, j_start, i_rem, ops).
 """
 
 from __future__ import annotations
@@ -31,9 +42,10 @@ from .banded import SMAX
 
 NEG = -(2 ** 28)
 
-P_TILE = 8
+P_TILE = 16
 STAGE = 132          # staged lookahead chars beyond the window
 REFILL_EVERY = 32    # rows between stage restocks (consumes <= 3*32 = 96)
+QW = 128             # query-char window width / restock period
 
 
 def _sel_shift(M, s, delta, fill):
@@ -49,7 +61,7 @@ def _sel_shift(M, s, delta, fill):
     return out
 
 
-def _kernel(ql_ref, tl_ref, q_ref, t_ref, mv_ref, score_ref, jend_ref,
+def _kernel(ql_ref, tl_ref, q_ref, t_ref, mvp_ref, score_ref, jend_ref,
             *, match, mismatch, gap_open, gap_ext, W, nq, nt, levels):
     oe = gap_open + gap_ext
     e = gap_ext
@@ -90,20 +102,33 @@ def _kernel(ql_ref, tl_ref, q_ref, t_ref, mv_ref, score_ref, jend_ref,
     buf0 = jnp.concatenate(
         [jnp.full((P_TILE, 1), 4, dtype=jnp.int32), T[:, :W + STAGE - 1]],
         axis=1)
+    qbuf0 = Q[:, :QW]
+    pack0 = jnp.zeros((P_TILE, W), dtype=jnp.int32)
+    grp0 = jnp.zeros((P_TILE, 8, W), dtype=jnp.int32)
 
     def row(i, carry):
-        H_prev, E_prev, buf, lo_prev, mv_buf = carry
+        H_prev, E_prev, buf, qbuf, lo_prev, pack, grp = carry
         lo_i = lo_of(i)
         s = lo_i - lo_prev                                       # (P_t, 1)
-        Hp = _sel_shift(H_prev, s, 0, NEG)
-        Ep = _sel_shift(E_prev, s, 0, NEG)
         Hd = _sel_shift(H_prev, s, -1, NEG)
+        # Hp[k] = H_prev[k+s] = Hd[k+1] for k < W-1; lane W-1 is only
+        # reachable when s == 0
+        Hp = jnp.where(karr == W - 1,
+                       jnp.where(s == 0, H_prev[:, W - 1:W], NEG),
+                       pltpu.roll(Hd, shift=W - 1, axis=1))
+        Ep = _sel_shift(E_prev, s, 0, NEG)
         buf = _sel_shift(buf, s, 0, 4)
         buf = jax.lax.cond((i - 1) % REFILL_EVERY == 0,
                            lambda: refill(buf, lo_i), lambda: buf)
 
-        qsh = (nq - (i - 1) % nq) % nq
-        qc = pltpu.roll(Q, shift=qsh, axis=1)[:, 0:1]            # (P_t, 1)
+        # query char window: restock every QW rows, else shift one lane
+        def fresh_q():
+            qsh = (nq - (i - 1) % nq) % nq
+            return pltpu.roll(Q, shift=qsh, axis=1)[:, :QW]
+
+        qbuf = jax.lax.cond((i - 1) % QW == 0, fresh_q,
+                            lambda: pltpu.roll(qbuf, shift=QW - 1, axis=1))
+        qc = qbuf[:, 0:1]                                        # (P_t, 1)
         tc = buf[:, :W]
         sub = jnp.where((qc == 4) | (tc == 4), 0,
                         jnp.where(qc == tc, match, mismatch))
@@ -141,23 +166,28 @@ def _kernel(ql_ref, tl_ref, q_ref, t_ref, mv_ref, score_ref, jend_ref,
         H = jnp.where(active, H, Hp)
         E = jnp.where(active, E, Ep)
 
-        # int8 stores need sublane-aligned offsets: buffer 8 rows (as int32
-        # registers — int8 mask-selects hit Mosaic relayout limits), flush
-        # at multiples of 8
-        row_sel = jax.lax.broadcasted_iota(
-            jnp.int32, (P_TILE, 8, W), 1) == ((i - 1) % 8)
-        mv_buf = jnp.where(row_sel, mv[:, None, :], mv_buf)
+        # pack the 4-bit move of row i into nibble (i-1) % 8 of the word
+        nib = (i - 1) % 8
+        pack = jnp.where(nib == 0, mv, pack | (mv << (4 * nib)))
 
-        @pl.when(i % 8 == 0)
+        # word finished every 8 rows: insert into the 8-word flush group
+        def close_word(grp):
+            slot = ((i - 8) // 8) % 8
+            sel = jax.lax.broadcasted_iota(
+                jnp.int32, (P_TILE, 8, W), 1) == slot
+            return jnp.where(sel, pack[:, None, :], grp)
+
+        grp = jax.lax.cond(i % 8 == 0, lambda: close_word(grp), lambda: grp)
+
+        @pl.when(i % 64 == 0)
         def _flush():
-            base = pl.multiple_of(i - 8, 8)
-            mv_ref[:, pl.ds(base, 8), :] = mv_buf.astype(jnp.uint8)
+            base = pl.multiple_of(i // 8 - 8, 8)
+            mvp_ref[:, pl.ds(base, 8), :] = grp
 
-        return H, E, buf, lo_i, mv_buf
+        return H, E, buf, qbuf, lo_i, pack, grp
 
-    mvb0 = jnp.zeros((P_TILE, 8, W), dtype=jnp.int32)
-    Hf, _Ef, _buf, lof, _mvb = jax.lax.fori_loop(
-        1, nq + 1, row, (H0, E0, buf0, lo0, mvb0))
+    Hf, _Ef, _buf, _qbuf, lof, _pack, _grp = jax.lax.fori_loop(
+        1, nq + 1, row, (H0, E0, buf0, qbuf0, lo0, pack0, grp0))
     mx = jnp.max(Hf, axis=1, keepdims=True)
     score_ref[:] = mx
     # argmax (smallest k on ties); Mosaic's argmax only supports f32
@@ -167,14 +197,28 @@ def _kernel(ql_ref, tl_ref, q_ref, t_ref, mv_ref, score_ref, jend_ref,
 
 @functools.partial(jax.jit, static_argnames=(
     "band", "match", "mismatch", "gap_open", "gap_ext", "interpret"))
-def banded_fwd_pallas(queries, targets, q_lens, t_lens, band: int = 128,
-                      match: int = 5, mismatch: int = -4, gap_open: int = 4,
-                      gap_ext: int = 2, interpret: bool = False):
-    """Forward pass: returns (scores (P,), j_end (P,), moves (P, nq, W))."""
+def banded_fwd_pallas_packed(queries, targets, q_lens, t_lens,
+                             band: int = 128, match: int = 5,
+                             mismatch: int = -4, gap_open: int = 4,
+                             gap_ext: int = 2, interpret: bool = False):
+    """Forward pass: returns (scores (P,), j_end (P,),
+    packed moves (P, nq_pad/8, W) int32 — row i's move byte is nibble
+    (i-1) % 8 of word (i-1)//8)."""
     P, nq = queries.shape
     _, nt = targets.shape
     W = band
-    assert P % P_TILE == 0
+    P_orig = P
+    if P % P_TILE:
+        padP = P_TILE - P % P_TILE
+        queries = jnp.pad(queries, ((0, padP), (0, 0)), constant_values=4)
+        targets = jnp.pad(targets, ((0, padP), (0, 0)), constant_values=4)
+        q_lens = jnp.pad(jnp.asarray(q_lens), (0, padP), constant_values=1)
+        t_lens = jnp.pad(jnp.asarray(t_lens), (0, padP), constant_values=1)
+        P += padP
+    if nq % 64:
+        queries = jnp.pad(queries, ((0, 0), (0, 64 - nq % 64)),
+                          constant_values=4)
+        nq = queries.shape[1]
     min_nt = W + STAGE + 8
     if nt < min_nt:
         targets = jnp.pad(targets, ((0, 0), (0, min_nt - nt)),
@@ -191,7 +235,8 @@ def banded_fwd_pallas(queries, targets, q_lens, t_lens, band: int = 128,
     ql = q_lens.astype(jnp.int32).reshape(P, 1)
     tl = t_lens.astype(jnp.int32).reshape(P, 1)
     nP = P // P_TILE
-    moves, score, jend = pl.pallas_call(
+    nq8 = nq // 8
+    mvp, score, jend = pl.pallas_call(
         kernel,
         grid=(nP,),
         in_specs=[
@@ -205,7 +250,7 @@ def banded_fwd_pallas(queries, targets, q_lens, t_lens, band: int = 128,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((P_TILE, nq, W), lambda p: (p, 0, 0),
+            pl.BlockSpec((P_TILE, nq8, W), lambda p: (p, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((P_TILE, 1), lambda p: (p, 0),
                          memory_space=pltpu.VMEM),
@@ -213,10 +258,47 @@ def banded_fwd_pallas(queries, targets, q_lens, t_lens, band: int = 128,
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((P, nq, W), jnp.uint8),
+            jax.ShapeDtypeStruct((P, nq8, W), jnp.int32),
             jax.ShapeDtypeStruct((P, 1), jnp.int32),
             jax.ShapeDtypeStruct((P, 1), jnp.int32),
         ),
         interpret=interpret,
     )(ql, tl, queries, targets)
-    return score[:, 0], jend[:, 0], moves
+    return score[:P_orig, 0], jend[:P_orig, 0], mvp[:P_orig]
+
+
+def banded_fwd_pallas(queries, targets, q_lens, t_lens, band: int = 128,
+                      match: int = 5, mismatch: int = -4, gap_open: int = 4,
+                      gap_ext: int = 2, interpret: bool = False):
+    """Compatibility wrapper: unpacked (P, nq, W) uint8 moves (tests)."""
+    P, nq = queries.shape
+    score, jend, mvp = banded_fwd_pallas_packed(
+        queries, targets, q_lens, t_lens, band=band, match=match,
+        mismatch=mismatch, gap_open=gap_open, gap_ext=gap_ext,
+        interpret=interpret)
+    nq8 = mvp.shape[1]
+    rows = []
+    for nib in range(8):
+        rows.append(((mvp >> (4 * nib)) & 0xF).astype(jnp.uint8))
+    moves = jnp.stack(rows, axis=2).reshape(P, nq8 * 8, mvp.shape[2])
+    return score, jend, moves[:, :nq, :]
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "band", "match", "mismatch", "gap_open", "gap_ext", "interpret"))
+def banded_align_trace_pallas(queries, targets, q_lens, t_lens,
+                              band: int = 128, match: int = 5,
+                              mismatch: int = -4, gap_open: int = 4,
+                              gap_ext: int = 2, interpret: bool = False):
+    """Pallas forward + the reverse-walk scan on packed move words.
+
+    Same contract as kernels.banded.banded_align_trace_batch:
+    returns (scores, j_end, j_start, i_rem, ops)."""
+    from .banded import walk_ops_packed
+
+    scores, j_end, mvp = banded_fwd_pallas_packed(
+        queries, targets, q_lens, t_lens, band=band, match=match,
+        mismatch=mismatch, gap_open=gap_open, gap_ext=gap_ext,
+        interpret=interpret)
+    j_f, i_f, ops = walk_ops_packed(mvp, q_lens, t_lens, j_end, band)
+    return scores, j_end, j_f, i_f, ops

@@ -36,8 +36,11 @@ from .backend import LocateResult, NumpyBackend
 LEN_BUCKETS = (8192, 32768, 131072)
 # device state budget for the locate kernel: B*C*L int32 elements
 LOCATE_BUDGET = 64 << 20
-# move-block budget for the aligner: P*nq*W bytes
-ALIGN_BUDGET = 256 << 20
+# move-block budget for the aligner: P*nq*W bytes.  The scan is
+# per-row-overhead-bound (halving the band leaves time unchanged,
+# tools/kernel_bench.py), so bigger P is nearly free throughput:
+# 512 -> 2048 pairs/batch measured 1873 -> 2751 pairs/s on the v5e.
+ALIGN_BUDGET = 1 << 30
 
 
 def _bucket_len(n: int) -> int:
@@ -63,7 +66,7 @@ def _pow2_at_most(n: int, lo: int = 8) -> int:
 
 # Batch-size ladder: only these sizes are ever compiled (shapes are padded
 # up), keeping the number of distinct compiled programs per bucket tiny.
-_P_LADDER = (8, 64, 512)
+_P_LADDER = (8, 64, 512, 2048)
 
 
 def _batch_size(n_items: int, budget_items: int) -> int:
@@ -73,6 +76,33 @@ def _batch_size(n_items: int, budget_items: int) -> int:
         if s >= n_items:
             return min(s, cap)
     return min(_P_LADDER[-1], cap)
+
+
+def _chunk_sizes(n_items: int, budget_items: int):
+    """Per-chunk ladder sizes covering n_items: full-size chunks, then the
+    smallest ladder size that covers the tail (less padding than one size
+    for every chunk)."""
+    out = []
+    left = n_items
+    while left > 0:
+        s = _batch_size(left, budget_items)
+        out.append(s)
+        left -= s
+    return out
+
+
+def _bucket_dim(n: int, lo: int = 128) -> int:
+    """Smallest of {2^k, 1.5 * 2^k} >= n.  The align scan's cost is rows
+    (per-row overhead dominates), so 1.5x intermediate buckets cut ~25%
+    padded rows versus pure powers of two at the cost of a few more
+    compiled shapes."""
+    b = lo
+    while True:
+        if n <= b:
+            return b
+        if n <= b + b // 2:
+            return b + b // 2
+        b *= 2
 
 
 class TpuBackend:
@@ -139,7 +169,7 @@ class TpuBackend:
                     q, t, ql, tl, band=band, match=match, mismatch=mismatch,
                     gap_open=gap_open, gap_ext=gap_ext),
                 in_shardings=(batch2, batch2, batch, batch),
-                out_shardings=(batch, batch, batch, batch2))
+                out_shardings=(batch, batch, batch, batch, batch2))
         return self._sharded_fns[key]
 
     # ---------------- locate ----------------
@@ -291,7 +321,7 @@ class TpuBackend:
                 continue
             # one bucket dimension (max of both sides): fewer compiled
             # shapes and fuller batches beat the extra padding
-            m = _pow2_at_least(max(len(q), len(t)))
+            m = _bucket_dim(max(len(q), len(t)))
             by_bucket.setdefault((m, m), []).append(i)
         if serial:
             from ..consensus.engine import serial_align_many
@@ -302,10 +332,13 @@ class TpuBackend:
         # dispatch all chunks first (device runs ahead of host traceback)
         launches = []
         for (nq, nt), idxs in sorted(by_bucket.items()):
-            P = self._round_batch(_batch_size(len(idxs),
-                                              ALIGN_BUDGET // (nq * W)))
-            for start in range(0, len(idxs), P):
+            start = 0
+            for P in _chunk_sizes(len(idxs), ALIGN_BUDGET // (nq * W)):
+                P = self._round_batch(P)
                 chunk = idxs[start:start + P]
+                start += P
+                if not chunk:
+                    break
                 Q = np.full((P, nq), 4, dtype=np.int8)
                 T = np.full((P, nt), 4, dtype=np.int8)
                 ql = np.ones(P, dtype=np.int32)
@@ -332,18 +365,47 @@ class TpuBackend:
                         mismatch=params.mismatch, gap_open=params.gap_open,
                         gap_ext=params.gap_ext)
                 launches.append((chunk, res))
-        for chunk, (scores, j_ends, _j_starts, ops) in launches:
-            scores = np.asarray(scores)
-            j_ends = np.asarray(j_ends)
-            ops = np.asarray(ops)  # (P, nq+nt) uint8 — small transfer
-            for r, i in enumerate(chunk):
-                q, qual, t = pairs[i]
-                rec = native.ops_record_normalize(
-                    q, t, ops[r], int(j_ends[r]))
-                if rec is None:  # no native lib: python fallback
-                    rec = ops_to_record(q, t, ops[r], int(j_ends[r]))
-                    rec = normalize_record(rec, q, t)
-                rec = rec._replace(score=int(scores[r]))
-                out[i] = SubreadAln(rec, np.asarray(q, dtype=np.int8),
-                                    np.asarray(qual, dtype=np.int8))
+        def build_record(args):
+            i, q, qual, t, ops_row, j_end, score = args
+            rec = native.ops_record_normalize(q, t, ops_row, j_end)
+            if rec is None:  # no native lib: python fallback
+                rec = ops_to_record(q, t, ops_row, j_end)
+                rec = normalize_record(rec, q, t)
+            rec = rec._replace(score=score)
+            out[i] = SubreadAln(rec, np.asarray(q, dtype=np.int8),
+                                np.asarray(qual, dtype=np.int8))
+
+        # host record building: the C path releases the GIL, so a small
+        # thread pool overlaps records across cores while later launches
+        # still run on the device
+        from concurrent.futures import ThreadPoolExecutor
+
+        from ..utils import prof
+        work = []
+        rewalk: list[int] = []   # truncated walks (pathological paths)
+        with prof.current.stage("align_wait"):
+            for chunk, (scores, j_ends, _j_starts, i_rem, ops) in launches:
+                scores = np.asarray(scores)
+                j_ends = np.asarray(j_ends)
+                i_rem = np.asarray(i_rem)
+                ops = np.asarray(ops)  # (P, nq+W+64) uint8 — small transfer
+                for r, i in enumerate(chunk):
+                    if i_rem[r] > 0:
+                        rewalk.append(i)
+                        continue
+                    q, qual, t = pairs[i]
+                    work.append((i, q, qual, t, ops[r], int(j_ends[r]),
+                                 int(scores[r])))
+        with prof.current.stage("align_host_records"):
+            if len(work) > 64 and native.available():
+                with ThreadPoolExecutor(max_workers=4) as ex:
+                    list(ex.map(build_record, work))
+            else:
+                for w in work:
+                    build_record(w)
+        if rewalk:
+            from ..consensus.engine import serial_align_many
+            res = serial_align_many([pairs[i] for i in rewalk], params)
+            for i, r in zip(rewalk, res):
+                out[i] = r
         return out

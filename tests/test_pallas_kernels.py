@@ -65,3 +65,37 @@ def test_pallas_banded_fwd_matches_xla():
     for p in range(P):
         np.testing.assert_array_equal(m1a[p, :ql[p]], m2a[p, :ql[p]],
                                       err_msg=f"pair {p}")
+
+
+def test_pallas_trace_matches_xla_trace():
+    """banded_align_trace_pallas == banded_align_trace_batch end to end
+    (scores, ends, remaining rows, op walks)."""
+    from c3poa_tpu.kernels.banded import banded_align_trace_batch
+    from c3poa_tpu.kernels.pallas_banded import banded_align_trace_pallas
+
+    rng = np.random.default_rng(3)
+    P, nq, nt, W = 8, 256, 256, 64
+    Q = np.full((P, nq), 4, np.int8)
+    T = np.full((P, nt), 4, np.int8)
+    ql = np.zeros(P, np.int32)
+    tl = np.zeros(P, np.int32)
+    for p in range(P):
+        n = int(rng.integers(150, nt))
+        t = sim.random_seq(rng, n)
+        q = sim.mutate(rng, t, 0.05, 0.03, 0.03)[:nq]
+        T[p, :len(t)] = encode(t)
+        tl[p] = len(t)
+        Q[p, :len(q)] = encode(q)
+        ql[p] = len(q)
+    s1, je1, js1, ir1, ops1 = banded_align_trace_batch(Q, T, ql, tl, band=W)
+    s2, je2, js2, ir2, ops2 = banded_align_trace_pallas(
+        Q, T, ql, tl, band=W, interpret=True)
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+    np.testing.assert_array_equal(np.asarray(je1), np.asarray(je2))
+    np.testing.assert_array_equal(np.asarray(js1), np.asarray(js2))
+    np.testing.assert_array_equal(np.asarray(ir1), 0)
+    np.testing.assert_array_equal(np.asarray(ir2), 0)
+    o1, o2 = np.asarray(ops1), np.asarray(ops2)
+    n = min(o1.shape[1], o2.shape[1])
+    np.testing.assert_array_equal(o1[:, :n], o2[:, :n])
+    assert not o1[:, n:].any() and not o2[:, n:].any()
