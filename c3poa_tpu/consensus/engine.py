@@ -137,8 +137,11 @@ def consensus_many(jobs: Sequence[ConsensusJob],
     # With rounds == 1 this is also the racon role: dangling fragments join
     # the single vote against the medoid draft (racon itself polishes
     # exactly once against its backbone, bin/determine_consensus.py:92).
+    from ..utils import prof
     single_round = p.rounds == 1
     pairs, meta = [], []  # meta: (owner, window_offset, full_nt)
+    _t_pairs = prof.current.stage("pairs_build")
+    _t_pairs.__enter__()
     for ji, job in enumerate(jobs):
         r = len(job.subreads)
         if r == 0:
@@ -164,13 +167,15 @@ def consensus_many(jobs: Sequence[ConsensusJob],
             pairs.append((codes, quals, target))
             meta.append((ji, offset, len(draft)))
         cons[ji] = ("draft", di)  # placeholder until vote
+    _t_pairs.__exit__(None, None, None)
     alns = align_many(pairs, p)
     by_owner: dict[int, list] = {}
-    for a, (ji, offset, full_nt) in zip(alns, meta):
-        if offset != 0 or len(a.rec.cover) != full_nt:
-            a = SubreadAln(banded.embed_record(a.rec, offset, full_nt),
-                           a.query, a.qual)
-        by_owner.setdefault(ji, []).append(a)
+    with prof.current.stage("embed"):
+        for a, (ji, offset, full_nt) in zip(alns, meta):
+            if offset != 0 or len(a.rec.cover) != full_nt:
+                a = SubreadAln(banded.embed_record(a.rec, offset, full_nt),
+                               a.query, a.qual)
+            by_owner.setdefault(ji, []).append(a)
     def vote_job(ji):
         job = jobs[ji]
         di = cons[ji][1]

@@ -54,15 +54,18 @@ def find_overlap(target: np.ndarray, query: np.ndarray, k: int = 15,
     n_hits = right - left
     # cap blowup from repetitive k-mers
     n_hits = np.minimum(n_hits, 8)
-    qpos_list, tpos_list = [], []
-    for qp in np.flatnonzero((n_hits > 0) & (qk >= 0)):
-        tps = order[left[qp]:left[qp] + n_hits[qp]]
-        qpos_list.append(np.full(len(tps), qp, dtype=np.int64))
-        tpos_list.append(tps.astype(np.int64))
-    if not qpos_list:
+    # expand (query kmer, target hit) pairs without a Python loop — on
+    # near-identical fragments nearly every query k-mer hits, and the old
+    # per-kmer loop dominated the whole consensus pairs_build stage
+    valid = np.flatnonzero((n_hits > 0) & (qk >= 0))
+    if len(valid) == 0:
         return None
-    qpos = np.concatenate(qpos_list)
-    tpos = np.concatenate(tpos_list)
+    counts = n_hits[valid]
+    total = int(counts.sum())
+    qpos = np.repeat(valid, counts).astype(np.int64)
+    run_starts = np.cumsum(counts) - counts
+    intra = np.arange(total, dtype=np.int64) - np.repeat(run_starts, counts)
+    tpos = order[np.repeat(left[valid], counts) + intra].astype(np.int64)
 
     diag = tpos - qpos
     bins = (diag + len(query)) // band

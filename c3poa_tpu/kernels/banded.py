@@ -167,8 +167,13 @@ def banded_align_batch(queries: jax.Array, targets: jax.Array,
         return (H, E, tw, lo_i), mv
 
     # unroll rows per scan step: the per-step state round-trip (HBM) and
-    # loop overhead dominate the tiny (P, W) row work
-    UNROLL = int(__import__("os").environ.get("C3POA_FWD_UNROLL", "4"))
+    # loop overhead dominate the tiny (P, W) row work.  Measured on the
+    # v5e at (512 reads, P<=2048): UNROLL 4 -> 16 cut the align stage
+    # 4.8 -> 3.3 s (end-to-end 52.8 -> 75.5 reads/s).  CPU keeps 4: the
+    # 16x body makes CPU XLA compiles (tests) several times slower.
+    default_unroll = "16" if jax.default_backend() != "cpu" else "4"
+    UNROLL = int(__import__("os").environ.get("C3POA_FWD_UNROLL",
+                                              default_unroll))
     if nq_max % UNROLL:
         queries = jnp.pad(queries, ((0, 0), (0, UNROLL - nq_max % UNROLL)),
                           constant_values=4)

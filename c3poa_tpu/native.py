@@ -84,6 +84,14 @@ def get_lib():
     lib.c3_decode.restype = None
     lib.c3_decode.argtypes = [i8p, i64, u8p]
     try:
+        lib.c3_ops_records_batch.restype = None
+        lib.c3_ops_records_batch.argtypes = [
+            u8p, i64, i32, i8p, i64p, i8p, i64p, i32p,
+            i8p, i8p, i32p, i32p, i32p, i64p, i64p, i32p,
+        ]
+    except AttributeError:
+        pass
+    try:
         lib.c3_dp_score.restype = i64
         lib.c3_dp_score.argtypes = [
             i8p, i64, i8p, i64, i64, i64, i64, i64, i64,
@@ -253,3 +261,70 @@ def dp_score_c(q: np.ndarray, t: np.ndarray, match=5, mismatch=-4,
                             gap_open, gap_ext, band,
                             work[0], work[1], work[2], work[3], j_end)
     return int(score), int(j_end[0])
+
+
+_ARENAS: dict = {}
+
+
+def ops_records_batch(qs, ts, ops, j_ends):
+    """Batched C record building + normalization for one device launch.
+
+    qs/ts: lists of int8 code arrays; ops: (n, L) uint8 walk ops;
+    j_ends: (n,) ints.  Returns a list of normalized AlignRecords whose
+    arrays are views into shared arenas, or None when the symbol is
+    missing.  One GIL-released C call replaces n Python->C round trips.
+    """
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "c3_ops_records_batch"):
+        return None
+    from .ref.banded import AlignRecord
+
+    n = len(qs)
+    ops = np.ascontiguousarray(ops, dtype=np.uint8)
+    q_off = np.zeros(n + 1, dtype=np.int64)
+    t_off = np.zeros(n + 1, dtype=np.int64)
+    for r in range(n):
+        q_off[r + 1] = q_off[r] + len(qs[r])
+        t_off[r + 1] = t_off[r] + len(ts[r])
+    q_blob = np.ascontiguousarray(np.concatenate(qs), dtype=np.int8) \
+        if n else np.zeros(0, np.int8)
+    t_blob = np.ascontiguousarray(np.concatenate(ts), dtype=np.int8) \
+        if n else np.zeros(0, np.int8)
+    nt_off = t_off
+    nt1_off = t_off + np.arange(n + 1, dtype=np.int64)
+
+    total_nt = int(nt_off[n])
+    total_nt1 = int(nt1_off[n])
+    # grow-only arena reuse: fresh allocations cost ~0.75 s of first-touch
+    # page faults per 90 MB call, the C loop itself ~35 ms (measured).
+    # The records handed out are views — callers consume them before the
+    # next group's align call (single-threaded align path), so reuse is
+    # safe within the pipeline's group-at-a-time structure.
+    def arena(name, size, dtype):
+        buf = _ARENAS.get(name)
+        if buf is None or buf.size < size or buf.dtype != dtype:
+            buf = np.empty(int(size * 1.25), dtype=dtype)
+            _ARENAS[name] = buf
+        return buf[:size]
+
+    cover = arena("cover", total_nt, np.int8)
+    base = arena("base", total_nt, np.int8)
+    qpos = arena("qpos", total_nt, np.int32)
+    ins_len = arena("ins_len", total_nt1, np.int32)
+    ins_qstart = arena("ins_qstart", total_nt1, np.int32)
+    j_starts = np.empty(n, dtype=np.int32)
+    je = np.ascontiguousarray(j_ends, dtype=np.int32)
+
+    lib.c3_ops_records_batch(
+        ops, ops.shape[1] if ops.ndim == 2 else 0, n,
+        q_blob, q_off, t_blob, t_off, je,
+        cover, base, qpos, ins_len, ins_qstart, nt_off, nt1_off, j_starts)
+
+    out = []
+    for r in range(n):
+        a, b = int(nt_off[r]), int(nt_off[r + 1])
+        a1, b1 = int(nt1_off[r]), int(nt1_off[r + 1])
+        out.append(AlignRecord(cover[a:b], base[a:b], qpos[a:b],
+                               ins_len[a1:b1], ins_qstart[a1:b1],
+                               int(j_starts[r]), int(je[r]), 0))
+    return out

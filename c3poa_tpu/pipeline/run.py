@@ -392,6 +392,8 @@ def _process_group(group, combos, cfg: PipelineConfig, backend, writers,
     job_meta: list = []       # (record idx, splint, repeats, dangling names)
     zero_jobs: list = []      # (record idx, splint, bounds)
 
+    _t_seg = prof.current.stage("segment")
+    _t_seg.__enter__()
     for ri, (rec, codes, qual, loc) in enumerate(
             zip(group, enc, quals, located)):
         if loc.score < cfg.splint_min_score:
@@ -418,6 +420,7 @@ def _process_group(group, combos, cfg: PipelineConfig, backend, writers,
         dq = [qual[a:b] for a, b in seg.dangling_bounds]
         jobs.append(ConsensusJob(subs, sq, dang, dq))
         job_meta.append((ri, combo.splint_name, seg))
+    _t_seg.__exit__(None, None, None)
 
     with prof.current.stage("consensus"):
         results = consensus_many(jobs, cfg.cons, backend.align_many)
@@ -442,6 +445,8 @@ def _process_group(group, combos, cfg: PipelineConfig, backend, writers,
 
     # write in input order
     emitted.sort(key=lambda e: e[0])
+    _t_wr = prof.current.stage("write")
+    _t_wr.__enter__()
     for ri, splint, repeats, cons, seg, job in emitted:
         rec = group[ri]
         cons_fh, sub_fh = writers.get(splint)
@@ -453,6 +458,7 @@ def _process_group(group, combos, cfg: PipelineConfig, backend, writers,
         header = f"{rec.name}_{avg_qual}_{len(rec.seq)}_{repeats}_{len(cons)}"
         cons_fh.write(f">{header}\n{decode(cons)}\n")
         stats.consensus_written += 1
+    _t_wr.__exit__(None, None, None)
 
 
 def _write_subreads(fh, name: str, job: ConsensusJob, repeats: int,

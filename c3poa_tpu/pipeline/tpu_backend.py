@@ -397,12 +397,33 @@ class TpuBackend:
                     work.append((i, q, qual, t, ops[r], int(j_ends[r]),
                                  int(scores[r])))
         with prof.current.stage("align_host_records"):
-            if len(work) > 64 and native.available():
-                with ThreadPoolExecutor(max_workers=4) as ex:
-                    list(ex.map(build_record, work))
-            else:
-                for w in work:
-                    build_record(w)
+            done = False
+            if work and native.available():
+                # one GIL-released C call builds + normalizes every record
+                # of the group (per-record Python round trips dominated).
+                # ops widths differ per bucket; zero-pad (op 0 = end)
+                L = max(len(w[4]) for w in work)
+                opsmat = np.zeros((len(work), L), dtype=np.uint8)
+                for k, w in enumerate(work):
+                    opsmat[k, :len(w[4])] = w[4]
+                recs = native.ops_records_batch(
+                    [w[1] for w in work], [w[3] for w in work],
+                    opsmat, [w[5] for w in work])
+                if recs is not None:
+                    for (i, q, qual, t, _o, _j, score), rec in \
+                            zip(work, recs):
+                        out[i] = SubreadAln(
+                            rec._replace(score=score),
+                            np.asarray(q, dtype=np.int8),
+                            np.asarray(qual, dtype=np.int8))
+                    done = True
+            if not done:
+                if len(work) > 64 and native.available():
+                    with ThreadPoolExecutor(max_workers=4) as ex:
+                        list(ex.map(build_record, work))
+                else:
+                    for w in work:
+                        build_record(w)
         if rewalk:
             from ..consensus.engine import serial_align_many
             res = serial_align_many([pairs[i] for i in rewalk], params)

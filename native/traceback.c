@@ -303,3 +303,35 @@ int32_t c3_vote(
     }
     return out;
 }
+
+/* Batched record building: one call per device launch instead of one
+ * Python->C round trip per alignment (the per-record Python marshalling
+ * dominated align_host_records).  Queries/targets arrive as concatenated
+ * blobs with offsets; outputs land in caller-allocated arenas sliced by
+ * per-record nt offsets. */
+void c3_ops_records_batch(
+    const uint8_t *ops, int64_t ops_stride, int32_t n,
+    const int8_t *q_blob, const int64_t *q_off,
+    const int8_t *t_blob, const int64_t *t_off,
+    const int32_t *j_ends,
+    int8_t *cover, int8_t *base, int32_t *qpos,
+    int32_t *ins_len, int32_t *ins_qstart,
+    const int64_t *nt_off, const int64_t *nt1_off,
+    int32_t *j_starts
+) {
+    for (int32_t r = 0; r < n; r++) {
+        const int8_t *q = q_blob + q_off[r];
+        const int8_t *t = t_blob + t_off[r];
+        int32_t nq = (int32_t)(q_off[r + 1] - q_off[r]);
+        int32_t nt = (int32_t)(t_off[r + 1] - t_off[r]);
+        int8_t *cv = cover + nt_off[r];
+        int8_t *bs = base + nt_off[r];
+        int32_t *qp = qpos + nt_off[r];
+        int32_t *il = ins_len + nt1_off[r];
+        int32_t *iq = ins_qstart + nt1_off[r];
+        j_starts[r] = c3_ops_record(ops + (int64_t)r * ops_stride,
+                                    (int32_t)ops_stride, q, nq, nt,
+                                    j_ends[r], cv, bs, qp, il, iq);
+        c3_normalize(q, t, nt, cv, bs, qp, il, iq);
+    }
+}
