@@ -99,7 +99,9 @@ def cpu_proxy_baseline(d: str) -> dict:
 
 
 def main():
-    n_reads = int(os.environ.get("BENCH_READS", "256"))
+    # 512 reads: large enough that per-run fixed costs (first locate not
+    # yet overlapped, final flush) amortize to steady state
+    n_reads = int(os.environ.get("BENCH_READS", "512"))
 
     with tempfile.TemporaryDirectory() as d:
         from c3poa_tpu.pipeline.backend import NumpyBackend
