@@ -99,9 +99,9 @@ def cpu_proxy_baseline(d: str) -> dict:
 
 
 def main():
-    # 512 reads: large enough that per-run fixed costs (first locate not
-    # yet overlapped, final flush) amortize to steady state
-    n_reads = int(os.environ.get("BENCH_READS", "512"))
+    # 1024 reads in two 512-read groups: group 2's locate overlaps group
+    # 1's consensus (the pipeline's steady-state shape on real runs)
+    n_reads = int(os.environ.get("BENCH_READS", "1024"))
 
     with tempfile.TemporaryDirectory() as d:
         from c3poa_tpu.pipeline.backend import NumpyBackend
@@ -120,11 +120,14 @@ def main():
         # guarantees every compiled shape is warm (remote compiles are
         # minutes the first time, seconds after)
         make_dataset(d, n_reads)
-        run_once(d, os.path.join(d, "warm"), backend)
+        gs = min(512, max(1, n_reads // 2))
+        run_once(d, os.path.join(d, "warm"), backend, group_size=gs)
         # best of two measured passes: the relayed runtime has 20-30%
         # run-to-run variance
-        stats, dt = run_once(d, os.path.join(d, "out"), backend)
-        stats2, dt2 = run_once(d, os.path.join(d, "out2"), backend)
+        stats, dt = run_once(d, os.path.join(d, "out"), backend,
+                             group_size=gs)
+        stats2, dt2 = run_once(d, os.path.join(d, "out2"), backend,
+                               group_size=gs)
         if dt2 < dt:
             stats, dt = stats2, dt2
         reads_s = stats.total_reads / dt

@@ -286,3 +286,53 @@ def test_postprocess_resume(tmp_path):
     t_part = {k: v for k, v in t_part.items()}
     assert t_full == t_part
     assert stats.total == 25
+
+
+def test_postprocess_barcoded_10x(tmp_path):
+    """-b writes the 10X barcode file with the reference's literal
+    plus/minus suffix on the sequence line (C3POa_postprocessing.py:374-384)."""
+    rng = np.random.default_rng(32)
+    recs = []
+    for i, direction in enumerate("+-"):
+        name, seq, _ = sim.make_consensus_like(
+            rng, f"bc_{i}", cdna_len=400, direction=direction, error=0.0)
+        recs.append((name, seq))
+    with open(tmp_path / "cons.fasta", "w") as fh:
+        for name, seq in recs:
+            fh.write(f">{name}\n{seq}\n")
+    sim.write_fasta(str(tmp_path / "adapters.fasta"),
+                    dict(sim.DEFAULT_ADAPTERS))
+    out = str(tmp_path / "out")
+    stats = run_postprocess(str(tmp_path / "cons.fasta"), out,
+                            str(tmp_path / "adapters.fasta"), None,
+                            PostprocessConfig(trim=True, barcoded=True))
+    assert stats.written == 2
+    tenx = list(read_fastx(os.path.join(
+        out, "R2C2_full_length_consensus_reads_10X_sequences.fasta")))
+    assert len(tenx) == 2
+    assert any(r.seq.endswith("plus") for r in tenx)
+    assert any(r.seq.endswith("minus") for r in tenx)
+    for r in tenx:
+        body = r.seq.replace("plus", "").replace("minus", "")
+        assert len(body) == 40
+
+
+def test_postprocess_undirectional(tmp_path):
+    """-u: one adapter named 'Adapter' on both ends; direction forced '+'
+    (C3POa_postprocessing.py:328-330)."""
+    rng = np.random.default_rng(33)
+    a = sim.random_seq(rng, 30)
+    cdna = sim.random_seq(rng, 500)
+    seq = (sim.random_seq(rng, 60) + a + cdna +
+           revcomp(a) + sim.random_seq(rng, 60))
+    with open(tmp_path / "cons.fasta", "w") as fh:
+        fh.write(f">u0\n{seq}\n")
+    sim.write_fasta(str(tmp_path / "adapters.fasta"), {"Adapter": a})
+    out = str(tmp_path / "out")
+    stats = run_postprocess(str(tmp_path / "cons.fasta"), out,
+                            str(tmp_path / "adapters.fasta"), None,
+                            PostprocessConfig(trim=True, undirectional=True))
+    assert stats.written == 1
+    recs = list(read_fastx(os.path.join(
+        out, "R2C2_full_length_consensus_reads.fasta")))
+    assert cdna in recs[0].seq  # '+' orientation kept
