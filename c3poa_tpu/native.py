@@ -165,6 +165,26 @@ def ops_record_normalize(q: np.ndarray, t: np.ndarray, ops: np.ndarray,
 
 # ---------------- voting ----------------
 
+import threading
+
+_VOTE_TLS = threading.local()
+
+
+def _vote_arena(name, shape, dtype):
+    """Grow-only per-thread buffers (the vote pool calls this from 4
+    threads): fresh numpy allocations cost more in first-touch page
+    faults than the C vote itself."""
+    size = int(np.prod(shape))
+    store = getattr(_VOTE_TLS, "arenas", None)
+    if store is None:
+        store = _VOTE_TLS.arenas = {}
+    buf = store.get(name)
+    if buf is None or buf.size < size or buf.dtype != dtype:
+        buf = np.empty(int(size * 1.5) + 64, dtype=dtype)
+        store[name] = buf
+    return buf[:size].reshape(shape)
+
+
 def vote_consensus_c(nt: int, alns, qmin: int = 5):
     """C fast path for consensus.vote.vote_consensus.  Returns
     (codes, quals) or None if unavailable."""
@@ -172,11 +192,11 @@ def vote_consensus_c(nt: int, alns, qmin: int = 5):
     if lib is None:
         return None
     N = len(alns)
-    cover = np.empty((N, nt), dtype=np.int8)
-    base = np.empty((N, nt), dtype=np.int8)
-    qpos = np.empty((N, nt), dtype=np.int32)
-    ins_len = np.empty((N, nt + 1), dtype=np.int32)
-    ins_qstart = np.empty((N, nt + 1), dtype=np.int32)
+    cover = _vote_arena("cover", (N, nt), np.int8)
+    base = _vote_arena("base", (N, nt), np.int8)
+    qpos = _vote_arena("qpos", (N, nt), np.int32)
+    ins_len = _vote_arena("ins_len", (N, nt + 1), np.int32)
+    ins_qstart = _vote_arena("ins_qstart", (N, nt + 1), np.int32)
     j_span = np.empty((N, 2), dtype=np.int32)
     q_off = np.zeros(N + 1, dtype=np.int64)
     qs_list, ql_list = [], []
@@ -196,17 +216,19 @@ def vote_consensus_c(nt: int, alns, qmin: int = 5):
     quals = np.ascontiguousarray(quals, dtype=np.int8)
 
     cap = 2 * nt + 64
-    out_codes = np.empty(cap, dtype=np.int8)
-    out_quals = np.empty(cap, dtype=np.int8)
+    out_codes = _vote_arena("out_codes", (cap,), np.int8)
+    out_quals = _vote_arena("out_quals", (cap,), np.int8)
     n = lib.c3_vote(N, nt, cover, base, qpos, ins_len, ins_qstart,
-                    j_span.reshape(-1), queries, quals, q_off, qmin,
+                    np.ascontiguousarray(j_span.reshape(-1)),
+                    queries, quals, q_off, qmin,
                     out_codes, out_quals, cap)
     while n == -1:
         cap *= 4
-        out_codes = np.empty(cap, dtype=np.int8)
-        out_quals = np.empty(cap, dtype=np.int8)
+        out_codes = _vote_arena("out_codes", (cap,), np.int8)
+        out_quals = _vote_arena("out_quals", (cap,), np.int8)
         n = lib.c3_vote(N, nt, cover, base, qpos, ins_len, ins_qstart,
-                        j_span.reshape(-1), queries, quals, q_off, qmin,
+                        np.ascontiguousarray(j_span.reshape(-1)),
+                        queries, quals, q_off, qmin,
                         out_codes, out_quals, cap)
     return out_codes[:n].copy(), out_quals[:n].copy()
 

@@ -124,3 +124,23 @@ def test_demux_nextera_tso(tmp_path):
     assert "r1|A2_T1" in names
     assert any(n.startswith("r3|") and n.endswith("_") or "r3|_" in n
                for n in names)
+
+
+def test_progress_reporting(tmp_path, capfd, monkeypatch):
+    """C3POA_PROGRESS=1 emits periodic reads/s lines to stderr (the
+    reference's tqdm role, C3POa.py:237)."""
+    import numpy as np
+
+    from c3poa_tpu import sim
+    from c3poa_tpu.pipeline.run import PipelineConfig, run_pipeline
+
+    monkeypatch.setenv("C3POA_PROGRESS", "1")
+    reads, splints = sim.make_dataset(n_reads=6, seed=8,
+                                      insert_len=(300, 500), copies=(2, 4))
+    sim.write_fastq(str(tmp_path / "r.fastq"), reads)
+    sim.write_fasta(str(tmp_path / "s.fasta"), splints)
+    run_pipeline(str(tmp_path / "r.fastq"), str(tmp_path / "s.fasta"),
+                 str(tmp_path / "out"),
+                 PipelineConfig(lencutoff=500, group_size=2))
+    err = capfd.readouterr().err
+    assert "[c3poa]" in err and "reads/s" in err
