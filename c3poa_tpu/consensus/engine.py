@@ -126,6 +126,17 @@ def consensus_many(jobs: Sequence[ConsensusJob],
     ``align_many`` call — the unit of TPU batching — then votes per job.
     Returns a list of (consensus_codes, consensus_quals) per job.
     """
+    state = consensus_prepare(jobs, p, align_many)
+    return consensus_finalize(state)
+
+
+def consensus_prepare(jobs: Sequence[ConsensusJob],
+                      p: ConsensusParams | None = None,
+                      align_many: AlignMany | None = None) -> dict:
+    """Device-facing half of ``consensus_many``: pair building + the
+    round-1 batched alignment.  The returned state is finished by
+    ``consensus_finalize`` (host votes) — the split lets the pipelined
+    runner overlap group g+1's device alignment with group g's votes."""
     p = p or ConsensusParams()
     align_many = align_many or serial_align_many
 
@@ -176,6 +187,20 @@ def consensus_many(jobs: Sequence[ConsensusJob],
                 a = SubreadAln(banded.embed_record(a.rec, offset, full_nt),
                                a.query, a.qual)
             by_owner.setdefault(ji, []).append(a)
+    return {"jobs": jobs, "p": p, "align_many": align_many, "n": n,
+            "cons": cons, "cons_q": cons_q, "by_owner": by_owner}
+
+
+def consensus_finalize(state: dict) -> list:
+    """Host half of ``consensus_many``: per-read votes + later rounds."""
+    jobs = state["jobs"]
+    p = state["p"]
+    align_many = state["align_many"]
+    n = state["n"]
+    cons = state["cons"]
+    cons_q = state["cons_q"]
+    by_owner = state["by_owner"]
+
     def vote_job(ji):
         job = jobs[ji]
         di = cons[ji][1]

@@ -286,6 +286,19 @@ def dp_score_c(q: np.ndarray, t: np.ndarray, match=5, mismatch=-4,
 
 
 _ARENAS: dict = {}
+_ARENA_SLOT: int = 0
+
+
+def set_arena_slot(slot: int) -> None:
+    """Select the record-arena generation (double buffering).
+
+    The pipelined runner builds group g+1's records on a worker thread
+    while group g's records (views into these arenas) are still being
+    voted on the main thread; rotating slot = g % 2 keeps the two
+    generations in disjoint buffers.  Call only from the (single)
+    prepare thread, before its align pass."""
+    global _ARENA_SLOT
+    _ARENA_SLOT = int(slot) & 1
 
 
 def ops_records_batch(qs, ts, ops, j_ends):
@@ -323,10 +336,11 @@ def ops_records_batch(qs, ts, ops, j_ends):
     # next group's align call (single-threaded align path), so reuse is
     # safe within the pipeline's group-at-a-time structure.
     def arena(name, size, dtype):
-        buf = _ARENAS.get(name)
+        key = (name, _ARENA_SLOT)
+        buf = _ARENAS.get(key)
         if buf is None or buf.size < size or buf.dtype != dtype:
             buf = np.empty(int(size * 1.25), dtype=dtype)
-            _ARENAS[name] = buf
+            _ARENAS[key] = buf
         return buf[:size]
 
     cover = arena("cover", total_nt, np.int8)

@@ -37,7 +37,8 @@ from typing import Iterator
 import numpy as np
 
 from ..consensus.engine import (
-    ConsensusJob, ConsensusParams, consensus_many, zero_repeat_consensus,
+    ConsensusJob, ConsensusParams, consensus_finalize, consensus_prepare,
+    zero_repeat_consensus,
 )
 from ..io.fastx import read_fastx
 from ..utils import prof
@@ -278,6 +279,22 @@ def run_pipeline(reads_path: str, splint_path: str, out_path: str,
         progress.update(len(group))
         checkpoint(gi)
 
+    def finish_prep(gi, prep):
+        group = prep["group"]
+        stats.total_reads += len(group)
+        profiler.count("reads", len(group))
+        _finalize_group(prep, cfg, writers, stats)
+        stats.short_reads = filter_stats.short_reads
+        progress.update(len(group))
+        checkpoint(gi)
+
+    # deep pipelining: the worker thread runs group g+1's WHOLE device
+    # side (locate + segment + round-1 align + record building) while
+    # this thread votes/writes group g.  Needs the single-round engine
+    # (a second round would align from the finalize side and race the
+    # worker's record arenas).
+    deep = overlap and cfg.cons.rounds == 1
+
     try:
         # short-read counting re-streams from the file start, so it is
         # recomputed in full even on resume
@@ -295,19 +312,29 @@ def run_pipeline(reads_path: str, splint_path: str, out_path: str,
                 if gi <= skip_groups or not mine(gi):
                     continue
                 if executor is not None:
-                    # locate group g+1 on a worker thread while group g's
-                    # consensus runs on this one
-                    fut = executor.submit(_locate_group, group, combos, cfg,
-                                          backend)
+                    # group g+1's device side runs on a worker thread
+                    # while group g's host side runs on this one
+                    if deep:
+                        fut = executor.submit(_prepare_group, group, combos,
+                                              cfg, backend, None, gi % 2)
+                    else:
+                        fut = executor.submit(_locate_group, group, combos,
+                                              cfg, backend)
                     if pending is not None:
                         pgi, pgroup, pfut = pending
-                        finish(pgi, pgroup, pfut.result())
+                        if deep:
+                            finish_prep(pgi, pfut.result())
+                        else:
+                            finish(pgi, pgroup, pfut.result())
                     pending = (gi, group, fut)
                 else:
                     finish(gi, group, None)
             if pending is not None:
                 pgi, pgroup, pfut = pending
-                finish(pgi, pgroup, pfut.result())
+                if deep:
+                    finish_prep(pgi, pfut.result())
+                else:
+                    finish(pgi, pgroup, pfut.result())
         stats.short_reads = filter_stats.short_reads
     finally:
         if executor is not None:
@@ -382,22 +409,30 @@ def _locate_group(group, combos, cfg: PipelineConfig, backend):
     return enc, quals, located
 
 
-def _process_group(group, combos, cfg: PipelineConfig, backend, writers,
-                   stats: PipelineStats, prelocated=None) -> None:
+def _prepare_group(group, combos, cfg: PipelineConfig, backend,
+                   prelocated=None, arena_slot: int = 0) -> dict:
+    """Device-facing half of group processing: locate + segmentation +
+    the batched round-1 alignment (consensus_prepare).  Runs on the
+    pipeline's worker thread so group g+1's device work overlaps group
+    g's host votes/writes; ``arena_slot`` double-buffers the native
+    record arenas across the two in-flight groups."""
+    from .. import native
+    native.set_arena_slot(arena_slot)
     if prelocated is None:
         prelocated = _locate_group(group, combos, cfg, backend)
     enc, quals, located = prelocated
 
     jobs: list[ConsensusJob] = []
-    job_meta: list = []       # (record idx, splint, repeats, dangling names)
+    job_meta: list = []       # (record idx, splint, seg)
     zero_jobs: list = []      # (record idx, splint, bounds)
+    no_splint = 0
 
     _t_seg = prof.current.stage("segment")
     _t_seg.__enter__()
     for ri, (rec, codes, qual, loc) in enumerate(
             zip(group, enc, quals, located)):
         if loc.score < cfg.splint_min_score:
-            stats.no_splint += 1
+            no_splint += 1
             continue
         combo = combos[loc.combo]
         seg = segment_read(len(codes), loc.peaks, combo.splint_len)
@@ -423,7 +458,28 @@ def _process_group(group, combos, cfg: PipelineConfig, backend, writers,
     _t_seg.__exit__(None, None, None)
 
     with prof.current.stage("consensus"):
-        results = consensus_many(jobs, cfg.cons, backend.align_many)
+        state = consensus_prepare(jobs, cfg.cons, backend.align_many)
+    return {"group": group, "enc": enc, "quals": quals, "jobs": jobs,
+            "job_meta": job_meta, "zero_jobs": zero_jobs,
+            "no_splint": no_splint, "state": state}
+
+
+def _process_group(group, combos, cfg: PipelineConfig, backend, writers,
+                   stats: PipelineStats, prelocated=None) -> None:
+    prep = _prepare_group(group, combos, cfg, backend, prelocated)
+    _finalize_group(prep, cfg, writers, stats)
+
+
+def _finalize_group(prep: dict, cfg: PipelineConfig, writers,
+                    stats: PipelineStats) -> None:
+    group = prep["group"]
+    enc, quals = prep["enc"], prep["quals"]
+    jobs, job_meta = prep["jobs"], prep["job_meta"]
+    zero_jobs = prep["zero_jobs"]
+    stats.no_splint += prep["no_splint"]
+
+    with prof.current.stage("consensus"):
+        results = consensus_finalize(prep["state"])
 
     emitted = []  # (record idx, splint, repeats, cons_codes, seg-like)
     for (ri, splint, seg), job, (cons, _cq) in zip(job_meta, jobs, results):

@@ -45,3 +45,22 @@ def test_backend_parity(dataset):
     log_a = open(os.path.join(out_np, "c3poa.log")).read()
     log_b = open(os.path.join(out_tpu, "c3poa.log")).read()
     assert log_a == log_b
+
+
+def test_backend_parity_pipelined_groups(dataset):
+    """Many small groups force the deep pipeline (group g+1's device side
+    on the worker thread overlapping group g's votes, with record-arena
+    double buffering) — output must stay byte-identical to numpy."""
+    d, reads, splints = dataset
+    cfg = PipelineConfig(group_size=2)
+    out_np = str(d / "out_np_g2")
+    out_tpu = str(d / "out_tpu_g2")
+    s_np = run_pipeline(str(d / "reads.fastq"), str(d / "splint.fasta"),
+                        out_np, cfg, NumpyBackend())
+    s_tpu = run_pipeline(str(d / "reads.fastq"), str(d / "splint.fasta"),
+                         out_tpu, cfg, TpuBackend())
+    assert s_np.consensus_written == s_tpu.consensus_written
+    for fname in ("R2C2_Consensus.fasta", "R2C2_Subreads.fastq"):
+        a = open(os.path.join(out_np, "Splint1", fname)).read()
+        b = open(os.path.join(out_tpu, "Splint1", fname)).read()
+        assert a == b, f"{fname} differs between backends (pipelined)"
