@@ -7,8 +7,9 @@ semantics, C3POa.py:48-49), -n/--numThreads, -g/--groupSize,
 -b/--blatThreads, -co/--compress_output, -v/--version.
 
 -c is accepted for compatibility but ignored: there are no external
-racon/blat binaries to locate.  -b is accepted and ignored: chunking is
-driven by device batching, not BLAT process counts.
+racon/blat binaries to locate.  -b chunks reads by thread count (one
+group per -n worker, the reference's "(faster)" mode,
+bin/preprocess.py:81-84) via the same counting pass the reference does.
 
 Extra flag: --backend {auto,tpu,numpy} selects the compute backend
 (auto = TPU kernels when a TPU/accelerator is visible, else numpy).
@@ -52,7 +53,10 @@ def parse_args(argv=None):
                         help="Reads per processing group (default 1000).")
     parser.add_argument("--blatThreads", "-b", action="store_true",
                         default=False,
-                        help="Accepted for compatibility; ignored.")
+                        help="Chunk reads by thread count instead of "
+                             "--groupSize (one group per worker, the "
+                             "reference's '(faster)' mode; CPU backend "
+                             "with -n > 1).")
     parser.add_argument("--compress_output", "-co", action="store_true",
                         default=False,
                         help="gzip the consensus fasta and subread fastq.")
@@ -110,11 +114,20 @@ def main(argv=None):
         from .parallel.dist import initialize
         process_index, process_count = initialize(
             args.coordinator, args.num_processes, args.process_id)
+    group_size = args.groupSize
+    if args.blatThreads and args.numThreads > 1:
+        # reference -b: chunk = reads // threads (bin/preprocess.py:81-84)
+        # — one group per worker; needs the counting pass the reference
+        # also does (C3POa.py:201-206)
+        from .io.fastx import read_fastx
+        n_pass = sum(1 for r in read_fastx(args.reads)
+                     if len(r.seq) >= args.lencutoff)
+        group_size = max(1, -(-n_pass // args.numThreads))
     cfg = PipelineConfig(
         lencutoff=args.lencutoff,
         mdistcutoff=args.mdistcutoff,
         zero=args.zero,
-        group_size=args.groupSize,
+        group_size=group_size,
         num_threads=args.numThreads,
         compress=args.compress_output,
         resume=args.resume,

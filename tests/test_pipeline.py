@@ -190,3 +190,21 @@ def test_pipeline_high_repeat_stress(tmp_path):
         assert repeats >= r.n_copies - 2  # most copies recovered as subreads
         truth = rotated_truth(r, splints)
         assert identity(encode(rec.seq), encode(truth)) > 0.99
+
+
+def test_cli_blat_threads_chunking(tmp_path):
+    """-b with -n chunks reads into one group per worker
+    (reference bin/preprocess.py:81-84) — same bytes as default grouping."""
+    from c3poa_tpu import cli, sim
+
+    reads, splints = sim.make_dataset(n_reads=9, seed=12,
+                                      insert_len=(300, 500), copies=(2, 4))
+    sim.write_fastq(str(tmp_path / "r.fastq"), reads)
+    sim.write_fasta(str(tmp_path / "s.fasta"), splints)
+    base = ["-r", str(tmp_path / "r.fastq"), "-s", str(tmp_path / "s.fasta"),
+            "-l", "500", "--backend", "numpy"]
+    cli.main(base + ["-o", str(tmp_path / "o1")])
+    cli.main(base + ["-o", str(tmp_path / "o2"), "-n", "3", "-b"])
+    a = open(tmp_path / "o1" / "Splint1" / "R2C2_Consensus.fasta").read()
+    b = open(tmp_path / "o2" / "Splint1" / "R2C2_Consensus.fasta").read()
+    assert a == b
