@@ -208,3 +208,30 @@ def test_cli_blat_threads_chunking(tmp_path):
     a = open(tmp_path / "o1" / "Splint1" / "R2C2_Consensus.fasta").read()
     b = open(tmp_path / "o2" / "Splint1" / "R2C2_Consensus.fasta").read()
     assert a == b
+
+def test_pipeline_gzip_input(tmp_path):
+    """Gzip-compressed input fastq: accepted via the '.gz' suffix AND via
+    magic-byte sniffing with no suffix (io/fastx.py:28-33); output is
+    byte-identical to the plain-text run."""
+    reads, splints = sim.make_dataset(n_reads=4, seed=21, copies=(2, 4))
+    plain = str(tmp_path / "r.fastq")
+    sim.write_fastq(plain, reads)
+    sim.write_fasta(str(tmp_path / "s.fasta"), splints)
+    data = open(plain, "rb").read()
+    gz_suffixed = str(tmp_path / "r.fastq.gz")
+    with gzip.open(gz_suffixed, "wb") as fh:
+        fh.write(data)
+    gz_bare = str(tmp_path / "r_nosuffix.fastq")  # gzip bytes, no .gz name
+    with open(gz_bare, "wb") as fh:
+        fh.write(open(gz_suffixed, "rb").read())
+
+    outs = []
+    for i, path in enumerate([plain, gz_suffixed, gz_bare]):
+        out = str(tmp_path / f"out{i}")
+        run_pipeline(path, str(tmp_path / "s.fasta"), out, PipelineConfig())
+        outs.append(out)
+    for kind in ["R2C2_Consensus.fasta", "R2C2_Subreads.fastq"]:
+        ref_txt = open(os.path.join(outs[0], "Splint1", kind)).read()
+        assert ref_txt
+        for out in outs[1:]:
+            assert open(os.path.join(out, "Splint1", kind)).read() == ref_txt

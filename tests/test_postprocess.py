@@ -336,3 +336,49 @@ def test_postprocess_undirectional(tmp_path):
     recs = list(read_fastx(os.path.join(
         out, "R2C2_full_length_consensus_reads.fasta")))
     assert cdna in recs[0].seq  # '+' orientation kept
+
+def test_postprocess_compress_output(tmp_path):
+    """--compress gzips every fasta output (reference
+    C3POa_postprocessing.py --compress role); contents match the plain
+    run and the tsv stays uncompressed."""
+    import gzip
+
+    rng = np.random.default_rng(5)
+    indexes = {f"Index{i}": sim.random_seq(np.random.default_rng(500 + i), 10)
+               for i in range(1, 3)}
+    reads = []
+    for i in range(4):
+        name, seq, _ = sim.make_consensus_like(
+            rng, f"c{i}", cdna_len=400, index=indexes[f"Index{(i % 2) + 1}"],
+            direction="+", error=0.0)
+        reads.append((name, seq))
+    with open(tmp_path / "cons.fasta", "w") as fh:
+        for name, seq in reads:
+            fh.write(f">{name}\n{seq}\n")
+    sim.write_fasta(str(tmp_path / "a.fasta"), dict(sim.DEFAULT_ADAPTERS))
+    sim.write_fasta(str(tmp_path / "i.fasta"), indexes)
+
+    out_plain = str(tmp_path / "plain")
+    out_gz = str(tmp_path / "gz")
+    run_postprocess(str(tmp_path / "cons.fasta"), out_plain,
+                    str(tmp_path / "a.fasta"), str(tmp_path / "i.fasta"),
+                    PostprocessConfig(trim=True))
+    run_postprocess(str(tmp_path / "cons.fasta"), out_gz,
+                    str(tmp_path / "a.fasta"), str(tmp_path / "i.fasta"),
+                    PostprocessConfig(trim=True, compress=True))
+
+    n_checked = 0
+    for root, _dirs, files in os.walk(out_plain):
+        for f in files:
+            rel = os.path.relpath(os.path.join(root, f), out_plain)
+            if f.startswith("."):
+                continue  # resume manifest — uncompressed runs only
+            if f.endswith(".tsv"):
+                assert os.path.exists(os.path.join(out_gz, rel))
+                continue
+            plain_txt = open(os.path.join(out_plain, rel)).read()
+            with gzip.open(os.path.join(out_gz, rel + ".gz"), "rt") as fh:
+                assert fh.read() == plain_txt
+            assert not os.path.exists(os.path.join(out_gz, rel))
+            n_checked += 1
+    assert n_checked >= 3
