@@ -30,10 +30,11 @@ from .backend import LocateResult, NumpyBackend
 
 # read-length buckets (L); reads longer than the last bucket fall back to
 # the exact numpy locate path (locate_many), so no read is ever truncated.
-# Few, coarse buckets: padded profile work is cheap, compiled shapes are not
-# (and this environment's compile cache persists some shapes unreliably —
-# an intermediate 49152 bucket recompiled ~170s in every process).
-LEN_BUCKETS = (8192, 32768, 131072)
+# Profile cost is proportional to L, so denser buckets cut real device
+# time (2.25x padded/real cells measured with the 8k/32k/128k ladder);
+# powers of two ONLY — this environment's compile cache silently drops
+# non-pow2 locate shapes (a 49152 bucket recompiled ~170s every process).
+LEN_BUCKETS = (8192, 16384, 32768, 65536, 131072)
 # device state budget for the locate kernel: B*C*L int32 elements
 LOCATE_BUDGET = 64 << 20
 # move-block budget for the aligner: P*nq*W bytes.  The scan is
@@ -66,7 +67,7 @@ def _pow2_at_most(n: int, lo: int = 8) -> int:
 
 # Batch-size ladder: only these sizes are ever compiled (shapes are padded
 # up), keeping the number of distinct compiled programs per bucket tiny.
-_P_LADDER = (8, 64, 512, 2048)
+_P_LADDER = (8, 64, 128, 256, 512, 1024, 2048)
 
 
 def _batch_size(n_items: int, budget_items: int) -> int:
@@ -78,16 +79,31 @@ def _batch_size(n_items: int, budget_items: int) -> int:
     return min(_P_LADDER[-1], cap)
 
 
-def _chunk_sizes(n_items: int, budget_items: int):
-    """Per-chunk ladder sizes covering n_items: full-size chunks, then the
-    smallest ladder size that covers the tail (less padding than one size
-    for every chunk)."""
+def _chunk_sizes(n_items: int, budget_items: int,
+                 launch_cost_rows: int = 256):
+    """Per-chunk ladder sizes covering n_items.
+
+    Greedy with a cost model: one extra launch costs about
+    ``launch_cost_rows`` padded rows of compute (relay dispatch is
+    30-50 ms; a padded row's cost depends on the kernel), so a covering
+    size whose padding stays below that is one launch, and a larger
+    overhang is split into a full chunk plus a tail."""
+    cap = _pow2_at_most(max(budget_items, _P_LADDER[0]), _P_LADDER[0])
     out = []
     left = n_items
     while left > 0:
-        s = _batch_size(left, budget_items)
-        out.append(s)
-        left -= s
+        cover = None
+        for s in _P_LADDER:
+            if s >= left and s <= cap:
+                cover = s
+                break
+        below = max((s for s in _P_LADDER if s <= min(left, cap)),
+                    default=min(_P_LADDER[0], cap))
+        if cover is not None and (cover - left) <= launch_cost_rows:
+            out.append(cover)
+            return out
+        out.append(below)
+        left -= below
     return out
 
 
@@ -216,10 +232,16 @@ class TpuBackend:
         tile = tile_for_distance(int(min_dist))
         launches = []
         for L, idxs in sorted(by_bucket.items()):
-            B = self._round_batch(_batch_size(len(idxs),
-                                              LOCATE_BUDGET // (C * L)))
-            for start in range(0, len(idxs), B):
+            start = 0
+            # a padded locate row costs L*C*m cells (~0.6 ms at L=16k),
+            # so ~128 padded rows buy one extra relay dispatch
+            for B in _chunk_sizes(len(idxs), LOCATE_BUDGET // (C * L),
+                                  launch_cost_rows=128):
+                B = self._round_batch(B)
                 chunk = idxs[start:start + B]
+                start += B
+                if not chunk:
+                    break
                 R = np.full((B, L), 4, dtype=np.int8)
                 lens = np.full(B, 64, dtype=np.int32)  # dummy rows: tiny+empty
                 for r, i in enumerate(chunk):
@@ -311,7 +333,7 @@ class TpuBackend:
         out: list = [None] * len(pairs)
 
         serial: list[int] = []
-        by_bucket: dict[tuple, list[int]] = {}
+        device: list[tuple[int, int]] = []   # (bucket dim m, pair idx)
         for i, (q, _qual, t) in enumerate(pairs):
             if len(t) > (SMAX - 1) * len(q) + 1:
                 # extreme length mismatch: the banded kernel's shift ladder
@@ -319,52 +341,60 @@ class TpuBackend:
                 # the host aligner
                 serial.append(i)
                 continue
-            # one bucket dimension (max of both sides): fewer compiled
-            # shapes and fuller batches beat the extra padding
-            m = _bucket_dim(max(len(q), len(t)))
-            by_bucket.setdefault((m, m), []).append(i)
+            device.append((_bucket_dim(max(len(q), len(t))), i))
         if serial:
             from ..consensus.engine import serial_align_many
             res = serial_align_many([pairs[i] for i in serial], params)
             for i, r in zip(serial, res):
                 out[i] = r
 
+        # Launch cost is rows x f(P) with f nearly flat up to P=2048 (the
+        # scan is per-row-overhead-bound), so pack pairs longest-first
+        # into FULL ladder-size chunks and give each chunk the row bucket
+        # of its own longest pair: fewer launches and fewer total padded
+        # rows than launching every (nq) bucket separately.
+        device.sort(key=lambda mi: (-mi[0], mi[1]))
+        chunks: list[tuple[int, list[int]]] = []   # (nq, pair idxs)
+        start = 0
+        while start < len(device):
+            nq = device[start][0]
+            cap = ALIGN_BUDGET // (nq * W)
+            P = self._round_batch(_batch_size(len(device) - start, cap))
+            chunks.append((nq, [i for _m, i in device[start:start + P]]))
+            start += P
+
         # dispatch all chunks first (device runs ahead of host traceback)
         launches = []
-        for (nq, nt), idxs in sorted(by_bucket.items()):
-            start = 0
-            for P in _chunk_sizes(len(idxs), ALIGN_BUDGET // (nq * W)):
-                P = self._round_batch(P)
-                chunk = idxs[start:start + P]
-                start += P
-                if not chunk:
-                    break
-                Q = np.full((P, nq), 4, dtype=np.int8)
-                T = np.full((P, nt), 4, dtype=np.int8)
-                ql = np.ones(P, dtype=np.int32)
-                tl = np.ones(P, dtype=np.int32)
-                for r, i in enumerate(chunk):
-                    q, _qual, t = pairs[i]
-                    Q[r, :len(q)] = q
-                    T[r, :len(t)] = t
-                    ql[r], tl[r] = len(q), len(t)
-                from ..utils import prof
-                prof.current.count("align_launches")
-                prof.current.count("align_cells_padded", P * nq * W)
-                shape = ("align", P, nq, nt, W)
-                if shape not in self._seen_shapes:
-                    self._seen_shapes.add(shape)
-                    prof.current.count("align_compiled_shapes")
-                if self.mesh is not None:
-                    res = self._sharded_align(
-                        W, params.match, params.mismatch, params.gap_open,
-                        params.gap_ext)(Q, T, ql, tl)
-                else:
-                    res = banded_align_trace_batch(
-                        Q, T, ql, tl, band=W, match=params.match,
-                        mismatch=params.mismatch, gap_open=params.gap_open,
-                        gap_ext=params.gap_ext)
-                launches.append((chunk, res))
+        for nq, chunk in chunks:
+            nt = nq
+            P = self._round_batch(_batch_size(len(chunk),
+                                              ALIGN_BUDGET // (nq * W)))
+            Q = np.full((P, nq), 4, dtype=np.int8)
+            T = np.full((P, nt), 4, dtype=np.int8)
+            ql = np.ones(P, dtype=np.int32)
+            tl = np.ones(P, dtype=np.int32)
+            for r, i in enumerate(chunk):
+                q, _qual, t = pairs[i]
+                Q[r, :len(q)] = q
+                T[r, :len(t)] = t
+                ql[r], tl[r] = len(q), len(t)
+            from ..utils import prof
+            prof.current.count("align_launches")
+            prof.current.count("align_cells_padded", P * nq * W)
+            shape = ("align", P, nq, nt, W)
+            if shape not in self._seen_shapes:
+                self._seen_shapes.add(shape)
+                prof.current.count("align_compiled_shapes")
+            if self.mesh is not None:
+                res = self._sharded_align(
+                    W, params.match, params.mismatch, params.gap_open,
+                    params.gap_ext)(Q, T, ql, tl)
+            else:
+                res = banded_align_trace_batch(
+                    Q, T, ql, tl, band=W, match=params.match,
+                    mismatch=params.mismatch, gap_open=params.gap_open,
+                    gap_ext=params.gap_ext)
+            launches.append((chunk, res))
         def build_record(args):
             i, q, qual, t, ops_row, j_end, score = args
             rec = native.ops_record_normalize(q, t, ops_row, j_end)
