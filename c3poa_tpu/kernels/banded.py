@@ -267,6 +267,103 @@ def walk_ops_packed(mvp: jax.Array, q_lens: jax.Array, t_lens: jax.Array,
     return j_f, i_f, ops
 
 
+@partial(jax.jit, static_argnames=("band", "shrink"))
+def walk_ops_cached(mvp: jax.Array, q_lens: jax.Array, t_lens: jax.Array,
+                    j_end: jax.Array, band: int, shrink: int = 5):
+    """Word-cached reverse walk over nibble-packed move words.
+
+    The plain walk (walk_ops_packed) is latency-bound: one dependent
+    (P,) gather per path step.  Each packed word already holds 8 rows of
+    moves at one band column, and a real path stays on one (word, column
+    +-1) patch for ~6 steps at nanopore error rates (the band slope is
+    ~1 for the pipeline's length-filtered subread/draft pairs), so one
+    (P, 3)-contiguous-word gather feeds up to 8 substeps: ~4x fewer
+    serial gathers.
+
+    Ops come out 2-bit packed, four per byte (1=diag 2=ins 3=del), with
+    0 gaps where a substep missed the cache; consumers skip gaps and
+    stop when the query is consumed (native c3_ops_record_packed /
+    unpack_ops_packed).  The iteration budget is (nq + W + 64) / shrink
+    gathers; pairs that exhaust it finish with ``i_rem > 0`` and the
+    caller realigns them on the host, exactly like pathological paths
+    under the plain walk.  Returns (j_start, i_rem, packed_ops
+    (P, n_iters*2) uint8)."""
+    P, nq8, W = mvp.shape
+    nq_max = nq8 * 8
+    q_lens = q_lens.astype(jnp.int32)
+    t_lens = t_lens.astype(jnp.int32)
+    hi = jnp.maximum(t_lens + 1 - W, 0)
+    mvp_flat = mvp.reshape(P, nq8 * W)
+
+    def lo_of(i):
+        i_eff = jnp.minimum(i, q_lens).astype(jnp.float32)
+        ctr = jnp.round(i_eff * t_lens.astype(jnp.float32) /
+                        jnp.maximum(q_lens, 1).astype(jnp.float32))
+        return jnp.clip(ctr.astype(jnp.int32) - W // 2, 0, hi)
+
+    def substep(carry, w3, m_c, k_c):
+        i, j, st = carry
+        active = i > 0
+        im1 = jnp.clip(i - 1, 0, nq_max - 1)
+        k = jnp.clip(j - lo_of(i), 0, W - 1)
+        d = k - k_c
+        hit = active & (im1 // 8 == m_c) & (jnp.abs(d) <= 1)
+        word = jnp.where(d == -1, w3[:, 0],
+                         jnp.where(d == 0, w3[:, 1], w3[:, 2]))
+        mv = (word >> (4 * (im1 % 8))) & 0xF
+        src = mv & 3
+        is_e = (st == 1) | ((st == 0) & (src == 1))
+        is_f = (st == 2) | ((st == 0) & (src == 2))
+        is_d = (st == 0) & (src == 0)
+        op = jnp.where(
+            hit,
+            jnp.where(is_d, OP_DIAG, jnp.where(is_e, OP_INS, OP_DEL)),
+            OP_NONE).astype(jnp.int32)
+        dec_i = hit & (is_d | is_e)
+        dec_j = hit & (is_d | is_f)
+        st_next = jnp.where(
+            is_e & ((mv & 4) != 0), 1,
+            jnp.where(is_f & ((mv & 8) != 0), 2, 0)).astype(jnp.int32)
+        st_next = jnp.where(hit, st_next, st)
+        return (i - dec_i.astype(jnp.int32),
+                j - dec_j.astype(jnp.int32), st_next), op
+
+    def iteration(carry, _):
+        i, j, _st = carry
+        im1 = jnp.clip(i - 1, 0, nq_max - 1)
+        m_c = im1 // 8
+        k_c = jnp.clip(j - lo_of(i), 0, W - 1)
+        cols = jnp.stack([jnp.maximum(k_c - 1, 0), k_c,
+                          jnp.minimum(k_c + 1, W - 1)], axis=1)   # (P, 3)
+        w3 = jnp.take_along_axis(mvp_flat, m_c[:, None] * W + cols, axis=1)
+        b0 = jnp.zeros(i.shape, dtype=jnp.int32)
+        b1 = jnp.zeros(i.shape, dtype=jnp.int32)
+        for s in range(8):
+            carry, op = substep(carry, w3, m_c, k_c)
+            if s < 4:
+                b0 = b0 | (op << (2 * s))
+            else:
+                b1 = b1 | (op << (2 * (s - 4)))
+        return carry, jnp.stack([b0, b1], axis=1).astype(jnp.uint8)
+
+    n_iters = -(-(nq_max + band + 64) // shrink)
+    init = (q_lens, j_end.astype(jnp.int32), jnp.zeros(P, dtype=jnp.int32))
+    (i_f, j_f, _st), opsb = jax.lax.scan(iteration, init, None,
+                                         length=n_iters)
+    ops = jnp.transpose(opsb, (1, 0, 2)).reshape(P, n_iters * 2)
+    return j_f, i_f, ops
+
+
+def unpack_ops_packed(row: np.ndarray) -> np.ndarray:
+    """Host helper: 2-bit packed gapped ops -> dense uint8 op stream
+    (gaps removed), for the Python fallback and tests."""
+    row = np.asarray(row, dtype=np.uint8)
+    all_ops = np.zeros(4 * len(row), dtype=np.uint8)
+    for s in range(4):
+        all_ops[s::4] = (row >> (2 * s)) & 3
+    return all_ops[all_ops != 0]
+
+
 @partial(jax.jit, static_argnames=("band", "match", "mismatch",
                                    "gap_open", "gap_ext"))
 def banded_align_trace_batch(queries: jax.Array, targets: jax.Array,

@@ -42,7 +42,7 @@ from .banded import SMAX
 
 NEG = -(2 ** 28)
 
-P_TILE = 16
+P_TILE = 16        # default pairs per grid step (see p_tile arg)
 STAGE = 132          # staged lookahead chars beyond the window
 REFILL_EVERY = 32    # rows between stage restocks (consumes <= 3*32 = 96)
 QW = 128             # query-char window width / restock period
@@ -62,7 +62,8 @@ def _sel_shift(M, s, delta, fill):
 
 
 def _kernel(ql_ref, tl_ref, q_ref, t_ref, mvp_ref, score_ref, jend_ref,
-            *, match, mismatch, gap_open, gap_ext, W, nq, nt, levels):
+            *, match, mismatch, gap_open, gap_ext, W, nq, nt, levels,
+            P_TILE):
     oe = gap_open + gap_ext
     e = gap_ext
     ql = ql_ref[:].astype(jnp.int32)          # (P_t, 1)
@@ -196,17 +197,20 @@ def _kernel(ql_ref, tl_ref, q_ref, t_ref, mvp_ref, score_ref, jend_ref,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "band", "match", "mismatch", "gap_open", "gap_ext", "interpret"))
+    "band", "match", "mismatch", "gap_open", "gap_ext", "interpret",
+    "p_tile"))
 def banded_fwd_pallas_packed(queries, targets, q_lens, t_lens,
                              band: int = 128, match: int = 5,
                              mismatch: int = -4, gap_open: int = 4,
-                             gap_ext: int = 2, interpret: bool = False):
+                             gap_ext: int = 2, interpret: bool = False,
+                             p_tile: int = P_TILE):
     """Forward pass: returns (scores (P,), j_end (P,),
     packed moves (P, nq_pad/8, W) int32 — row i's move byte is nibble
     (i-1) % 8 of word (i-1)//8)."""
     P, nq = queries.shape
     _, nt = targets.shape
     W = band
+    P_TILE = p_tile
     P_orig = P
     if P % P_TILE:
         padP = P_TILE - P % P_TILE
@@ -231,7 +235,7 @@ def banded_fwd_pallas_packed(queries, targets, q_lens, t_lens,
 
     kernel = functools.partial(
         _kernel, match=match, mismatch=mismatch, gap_open=gap_open,
-        gap_ext=gap_ext, W=W, nq=nq, nt=nt, levels=levels)
+        gap_ext=gap_ext, W=W, nq=nq, nt=nt, levels=levels, P_TILE=P_TILE)
     ql = q_lens.astype(jnp.int32).reshape(P, 1)
     tl = t_lens.astype(jnp.int32).reshape(P, 1)
     nP = P // P_TILE
@@ -269,13 +273,14 @@ def banded_fwd_pallas_packed(queries, targets, q_lens, t_lens,
 
 def banded_fwd_pallas(queries, targets, q_lens, t_lens, band: int = 128,
                       match: int = 5, mismatch: int = -4, gap_open: int = 4,
-                      gap_ext: int = 2, interpret: bool = False):
+                      gap_ext: int = 2, interpret: bool = False,
+                      p_tile: int = P_TILE):
     """Compatibility wrapper: unpacked (P, nq, W) uint8 moves (tests)."""
     P, nq = queries.shape
     score, jend, mvp = banded_fwd_pallas_packed(
         queries, targets, q_lens, t_lens, band=band, match=match,
         mismatch=mismatch, gap_open=gap_open, gap_ext=gap_ext,
-        interpret=interpret)
+        interpret=interpret, p_tile=p_tile)
     nq8 = mvp.shape[1]
     rows = []
     for nib in range(8):
@@ -285,11 +290,13 @@ def banded_fwd_pallas(queries, targets, q_lens, t_lens, band: int = 128,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "band", "match", "mismatch", "gap_open", "gap_ext", "interpret"))
+    "band", "match", "mismatch", "gap_open", "gap_ext", "interpret",
+    "p_tile"))
 def banded_align_trace_pallas(queries, targets, q_lens, t_lens,
                               band: int = 128, match: int = 5,
                               mismatch: int = -4, gap_open: int = 4,
-                              gap_ext: int = 2, interpret: bool = False):
+                              gap_ext: int = 2, interpret: bool = False,
+                              p_tile: int = P_TILE):
     """Pallas forward + the reverse-walk scan on packed move words.
 
     Same contract as kernels.banded.banded_align_trace_batch:
@@ -299,6 +306,31 @@ def banded_align_trace_pallas(queries, targets, q_lens, t_lens,
     scores, j_end, mvp = banded_fwd_pallas_packed(
         queries, targets, q_lens, t_lens, band=band, match=match,
         mismatch=mismatch, gap_open=gap_open, gap_ext=gap_ext,
-        interpret=interpret)
+        interpret=interpret, p_tile=p_tile)
     j_f, i_f, ops = walk_ops_packed(mvp, q_lens, t_lens, j_end, band)
+    return scores, j_end, j_f, i_f, ops
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "band", "match", "mismatch", "gap_open", "gap_ext", "interpret",
+    "p_tile", "shrink"))
+def banded_align_trace_pallas_cached(queries, targets, q_lens, t_lens,
+                                     band: int = 128, match: int = 5,
+                                     mismatch: int = -4, gap_open: int = 4,
+                                     gap_ext: int = 2,
+                                     interpret: bool = False,
+                                     p_tile: int = P_TILE,
+                                     shrink: int = 5):
+    """Pallas forward + the word-cached walk (kernels.banded
+    walk_ops_cached).  Returns (scores, j_end, j_start, i_rem,
+    packed_ops) — ops are 2-bit packed with gaps; consume with
+    native.ops_record(s)(_batch)(packed=True) or unpack_ops_packed."""
+    from .banded import walk_ops_cached
+
+    scores, j_end, mvp = banded_fwd_pallas_packed(
+        queries, targets, q_lens, t_lens, band=band, match=match,
+        mismatch=mismatch, gap_open=gap_open, gap_ext=gap_ext,
+        interpret=interpret, p_tile=p_tile)
+    j_f, i_f, ops = walk_ops_cached(mvp, q_lens, t_lens, j_end, band,
+                                    shrink=shrink)
     return scores, j_end, j_f, i_f, ops

@@ -19,23 +19,36 @@ _TRIED = False
 
 def _find_lib():
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    src_dir = os.path.join(here, "native")
     cands = [
-        os.path.join(here, "native", "libc3poa_native.so"),
+        os.path.join(src_dir, "libc3poa_native.so"),
         os.path.join(os.path.dirname(__file__), "libc3poa_native.so"),
     ]
-    for c in cands:
-        if os.path.exists(c):
-            return c
-    # best-effort build from source (gcc + make are cheap; the Python
+
+    def fresh(so):
+        # a .so older than any C source has a stale ABI — rebuild
+        try:
+            ts = os.path.getmtime(so)
+            import glob
+            return all(os.path.getmtime(c) <= ts
+                       for c in glob.glob(os.path.join(src_dir, "*.c")))
+        except OSError:
+            return True
+
+    if os.path.exists(cands[0]) and fresh(cands[0]):
+        return cands[0]
+    if os.path.exists(cands[1]) and not os.path.exists(
+            os.path.join(src_dir, "Makefile")):
+        return cands[1]
+    # best-effort (re)build from source (gcc + make are cheap; the Python
     # fallbacks work but are ~10x slower on traceback/vote)
-    src_dir = os.path.join(here, "native")
     if os.path.exists(os.path.join(src_dir, "Makefile")):
         import subprocess
         try:
-            subprocess.run(["make", "-C", src_dir], capture_output=True,
+            subprocess.run(["make", "-C", src_dir, "-B"], capture_output=True,
                            timeout=120, check=True)
         except Exception:
-            return None
+            return None  # a stale-ABI .so is worse than the Python path
         if os.path.exists(cands[0]):
             return cands[0]
     return None
@@ -72,6 +85,8 @@ def get_lib():
         u8p, i32, i8p, i32, i32, i32,
         i8p, i8p, i32p, i32p, i32p,
     ]
+    lib.c3_ops_record_packed.restype = i32
+    lib.c3_ops_record_packed.argtypes = lib.c3_ops_record.argtypes
     lib.c3_vote.restype = i32
     lib.c3_vote.argtypes = [
         i32, i32, i8p, i8p, i32p, i32p, i32p, i32p,
@@ -87,7 +102,7 @@ def get_lib():
         lib.c3_ops_records_batch.restype = None
         lib.c3_ops_records_batch.argtypes = [
             u8p, i64, i32, i8p, i64p, i8p, i64p, i32p,
-            i8p, i8p, i32p, i32p, i32p, i64p, i64p, i32p,
+            i8p, i8p, i32p, i32p, i32p, i64p, i64p, i32p, i32,
         ]
     except AttributeError:
         pass
@@ -139,9 +154,11 @@ def traceback_normalize(q: np.ndarray, t: np.ndarray, moves: np.ndarray,
 
 
 def ops_record_normalize(q: np.ndarray, t: np.ndarray, ops: np.ndarray,
-                         j_end: int):
+                         j_end: int, packed: bool = False):
     """C fast path: record from device-traceback ops + normalization.
-    Returns an AlignRecord or None if the native library is unavailable."""
+    ``packed`` selects the 2-bit/4-per-byte gapped encoding emitted by
+    walk_ops_cached.  Returns an AlignRecord or None if the native
+    library is unavailable."""
     lib = get_lib()
     if lib is None:
         return None
@@ -156,8 +173,9 @@ def ops_record_normalize(q: np.ndarray, t: np.ndarray, ops: np.ndarray,
     qpos = np.zeros(nt, dtype=np.int32)
     ins_len = np.zeros(nt + 1, dtype=np.int32)
     ins_qstart = np.zeros(nt + 1, dtype=np.int32)
-    j_start = lib.c3_ops_record(ops, len(ops), q, nq, nt, int(j_end),
-                                cover, base, qpos, ins_len, ins_qstart)
+    fn = lib.c3_ops_record_packed if packed else lib.c3_ops_record
+    j_start = fn(ops, len(ops), q, nq, nt, int(j_end),
+                 cover, base, qpos, ins_len, ins_qstart)
     lib.c3_normalize(q, t, nt, cover, base, qpos, ins_len, ins_qstart)
     return AlignRecord(cover, base, qpos, ins_len, ins_qstart,
                        int(j_start), int(j_end), 0)
@@ -301,13 +319,14 @@ def set_arena_slot(slot: int) -> None:
     _ARENA_SLOT = int(slot) & 1
 
 
-def ops_records_batch(qs, ts, ops, j_ends):
+def ops_records_batch(qs, ts, ops, j_ends, packed: bool = False):
     """Batched C record building + normalization for one device launch.
 
-    qs/ts: lists of int8 code arrays; ops: (n, L) uint8 walk ops;
-    j_ends: (n,) ints.  Returns a list of normalized AlignRecords whose
-    arrays are views into shared arenas, or None when the symbol is
-    missing.  One GIL-released C call replaces n Python->C round trips.
+    qs/ts: lists of int8 code arrays; ops: (n, L) uint8 walk ops
+    (2-bit packed, gapped, when ``packed``); j_ends: (n,) ints.  Returns
+    a list of normalized AlignRecords whose arrays are views into shared
+    arenas, or None when the symbol is missing.  One GIL-released C call
+    replaces n Python->C round trips.
     """
     lib = get_lib()
     if lib is None or not hasattr(lib, "c3_ops_records_batch"):
@@ -354,7 +373,8 @@ def ops_records_batch(qs, ts, ops, j_ends):
     lib.c3_ops_records_batch(
         ops, ops.shape[1] if ops.ndim == 2 else 0, n,
         q_blob, q_off, t_blob, t_off, je,
-        cover, base, qpos, ins_len, ins_qstart, nt_off, nt1_off, j_starts)
+        cover, base, qpos, ins_len, ins_qstart, nt_off, nt1_off, j_starts,
+        1 if packed else 0)
 
     out = []
     for r in range(n):

@@ -121,6 +121,35 @@ def _bucket_dim(n: int, lo: int = 128) -> int:
         b *= 2
 
 
+def _pallas_align_on() -> bool:
+    """Accelerator align path selection, mirroring
+    kernels/locate._profile_impl.  C3POA_ALIGN_PALLAS=0/1 overrides this
+    stage alone; C3POA_USE_PALLAS=0 forces XLA everywhere."""
+    import jax
+    on = os.environ.get("C3POA_ALIGN_PALLAS",
+                        os.environ.get("C3POA_USE_PALLAS", "1"))
+    return on != "0" and jax.default_backend() not in ("cpu",)
+
+
+def _align_trace_impl(Q, T, ql, tl, *, band, match, mismatch, gap_open,
+                      gap_ext):
+    """On accelerators: Pallas forward (p_tile=32 — every op covers four
+    native (8, 128) tiles; bit-identical to the XLA scan and 15-40%
+    faster at the shipped batch shapes, tools/kernel_bench.py) + the
+    word-cached walk, whose ops come out 2-bit packed with gaps
+    (kernels/banded.walk_ops_cached).  The XLA scan + plain walk remains
+    the CPU/test/mesh path.  Callers get the packed flag from
+    _pallas_align_on()."""
+    if _pallas_align_on():
+        from ..kernels.pallas_banded import banded_align_trace_pallas_cached
+        return banded_align_trace_pallas_cached(
+            Q, T, ql, tl, band=band, match=match, mismatch=mismatch,
+            gap_open=gap_open, gap_ext=gap_ext, p_tile=32)
+    return banded_align_trace_batch(
+        Q, T, ql, tl, band=band, match=match, mismatch=mismatch,
+        gap_open=gap_open, gap_ext=gap_ext)
+
+
 class TpuBackend:
     supports_overlap = True
 
@@ -390,15 +419,21 @@ class TpuBackend:
                     W, params.match, params.mismatch, params.gap_open,
                     params.gap_ext)(Q, T, ql, tl)
             else:
-                res = banded_align_trace_batch(
+                res = _align_trace_impl(
                     Q, T, ql, tl, band=W, match=params.match,
                     mismatch=params.mismatch, gap_open=params.gap_open,
                     gap_ext=params.gap_ext)
             launches.append((chunk, res))
+        packed_ops = self.mesh is None and _pallas_align_on()
+
         def build_record(args):
             i, q, qual, t, ops_row, j_end, score = args
-            rec = native.ops_record_normalize(q, t, ops_row, j_end)
+            rec = native.ops_record_normalize(q, t, ops_row, j_end,
+                                              packed=packed_ops)
             if rec is None:  # no native lib: python fallback
+                if packed_ops:
+                    from ..kernels.banded import unpack_ops_packed
+                    ops_row = unpack_ops_packed(ops_row)
                 rec = ops_to_record(q, t, ops_row, j_end)
                 rec = normalize_record(rec, q, t)
             rec = rec._replace(score=score)
@@ -438,7 +473,7 @@ class TpuBackend:
                     opsmat[k, :len(w[4])] = w[4]
                 recs = native.ops_records_batch(
                     [w[1] for w in work], [w[3] for w in work],
-                    opsmat, [w[5] for w in work])
+                    opsmat, [w[5] for w in work], packed=packed_ops)
                 if recs is not None:
                     for (i, q, qual, t, _o, _j, score), rec in \
                             zip(work, recs):
@@ -455,6 +490,10 @@ class TpuBackend:
                     for w in work:
                         build_record(w)
         if rewalk:
+            # pathological paths or cached-walk budget misses: host realign.
+            # Watch align_rewalk in c3poa_stats.json — a spike means the
+            # walk_ops_cached shrink budget is too tight for the data.
+            prof.current.count("align_rewalk", len(rewalk))
             from ..consensus.engine import serial_align_many
             res = serial_align_many([pairs[i] for i in rewalk], params)
             for i, r in zip(rewalk, res):

@@ -126,6 +126,48 @@ int32_t c3_ops_record(
     return j;
 }
 
+/* Same record rebuild for the word-cached device walk
+ * (kernels/banded.py walk_ops_cached): ops arrive 2-bit packed, four per
+ * byte, and may contain 0 (=none) gaps where a walk substep missed its
+ * cached move word — skip gaps, stop once the whole query is consumed
+ * (i == 0).  Returns j_start. */
+int32_t c3_ops_record_packed(
+    const uint8_t *ops, int32_t n_bytes,
+    const int8_t *q, int32_t nq, int32_t nt, int32_t j_end,
+    int8_t *cover, int8_t *base, int32_t *qpos,
+    int32_t *ins_len, int32_t *ins_qstart
+) {
+    memset(cover, 0, (size_t)nt);
+    memset(base, 4, (size_t)nt);
+    for (int32_t j = 0; j < nt; j++) qpos[j] = -1;
+    memset(ins_len, 0, sizeof(int32_t) * (size_t)(nt + 1));
+    for (int32_t j = 0; j <= nt; j++) ins_qstart[j] = -1;
+
+    int32_t i = nq, j = j_end;
+    for (int32_t s = 0; s < n_bytes && i > 0; s++) {
+        uint8_t b = ops[s];
+        if (!b) continue;
+        for (int32_t u = 0; u < 4 && i > 0; u++) {
+            uint8_t op = (b >> (2 * u)) & 3;
+            if (op == 0) continue;
+            if (op == 1) {
+                cover[j - 1] = 1;
+                base[j - 1] = q[i - 1];
+                qpos[j - 1] = i - 1;
+                i--; j--;
+            } else if (op == 2) {
+                ins_len[j] += 1;
+                ins_qstart[j] = i - 1;
+                i--;
+            } else {
+                cover[j - 1] = 2;
+                j--;
+            }
+        }
+    }
+    return j;
+}
+
 /* Left-normalize indels within homopolymer runs (ref/banded.py
  * normalize_record semantics, in place). */
 void c3_normalize(
@@ -317,7 +359,7 @@ void c3_ops_records_batch(
     int8_t *cover, int8_t *base, int32_t *qpos,
     int32_t *ins_len, int32_t *ins_qstart,
     const int64_t *nt_off, const int64_t *nt1_off,
-    int32_t *j_starts
+    int32_t *j_starts, int32_t packed
 ) {
     for (int32_t r = 0; r < n; r++) {
         const int8_t *q = q_blob + q_off[r];
@@ -329,9 +371,9 @@ void c3_ops_records_batch(
         int32_t *qp = qpos + nt_off[r];
         int32_t *il = ins_len + nt1_off[r];
         int32_t *iq = ins_qstart + nt1_off[r];
-        j_starts[r] = c3_ops_record(ops + (int64_t)r * ops_stride,
-                                    (int32_t)ops_stride, q, nq, nt,
-                                    j_ends[r], cv, bs, qp, il, iq);
+        j_starts[r] = (packed ? c3_ops_record_packed : c3_ops_record)(
+            ops + (int64_t)r * ops_stride, (int32_t)ops_stride, q, nq, nt,
+            j_ends[r], cv, bs, qp, il, iq);
         c3_normalize(q, t, nt, cv, bs, qp, il, iq);
     }
 }

@@ -42,7 +42,11 @@ def test_pallas_profile_matches_ref():
                                           err_msg=f"b={b} c={c}")
 
 
-def test_pallas_banded_fwd_matches_xla():
+import pytest
+
+
+@pytest.mark.parametrize("p_tile", [16, 32])
+def test_pallas_banded_fwd_matches_xla(p_tile):
     rng = np.random.default_rng(1)
     P, nq, nt, W = 8, 512, 512, 64
     Q = np.full((P, nq), 4, np.int8)
@@ -58,7 +62,8 @@ def test_pallas_banded_fwd_matches_xla():
         Q[p, :len(q)] = encode(q)
         ql[p] = len(q)
     s1, j1, m1 = banded_align_batch(Q, T, ql, tl, band=W)
-    s2, j2, m2 = banded_fwd_pallas(Q, T, ql, tl, band=W, interpret=True)
+    s2, j2, m2 = banded_fwd_pallas(Q, T, ql, tl, band=W, interpret=True,
+                                   p_tile=p_tile)
     np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
     np.testing.assert_array_equal(np.asarray(j1), np.asarray(j2))
     m1a, m2a = np.asarray(m1), np.asarray(m2)
@@ -67,7 +72,8 @@ def test_pallas_banded_fwd_matches_xla():
                                       err_msg=f"pair {p}")
 
 
-def test_pallas_trace_matches_xla_trace():
+@pytest.mark.parametrize("p_tile", [16, 32])
+def test_pallas_trace_matches_xla_trace(p_tile):
     """banded_align_trace_pallas == banded_align_trace_batch end to end
     (scores, ends, remaining rows, op walks)."""
     from c3poa_tpu.kernels.banded import banded_align_trace_batch
@@ -89,7 +95,7 @@ def test_pallas_trace_matches_xla_trace():
         ql[p] = len(q)
     s1, je1, js1, ir1, ops1 = banded_align_trace_batch(Q, T, ql, tl, band=W)
     s2, je2, js2, ir2, ops2 = banded_align_trace_pallas(
-        Q, T, ql, tl, band=W, interpret=True)
+        Q, T, ql, tl, band=W, interpret=True, p_tile=p_tile)
     np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
     np.testing.assert_array_equal(np.asarray(je1), np.asarray(je2))
     np.testing.assert_array_equal(np.asarray(js1), np.asarray(js2))
@@ -99,3 +105,65 @@ def test_pallas_trace_matches_xla_trace():
     n = min(o1.shape[1], o2.shape[1])
     np.testing.assert_array_equal(o1[:, :n], o2[:, :n])
     assert not o1[:, n:].any() and not o2[:, n:].any()
+
+
+def test_cached_walk_matches_plain_walk():
+    """walk_ops_cached (packed, gapped, 4x fewer gathers) reproduces the
+    plain walk's op stream after degapping, completes every pair at the
+    default budget on nanopore-grade error rates, and its packed ops
+    round-trip through both the C packed record builder and the Python
+    unpack fallback."""
+    from c3poa_tpu import native
+    from c3poa_tpu.kernels.banded import (
+        banded_align_trace_batch, ops_to_record, unpack_ops_packed)
+    from c3poa_tpu.kernels.pallas_banded import (
+        banded_align_trace_pallas_cached)
+    from c3poa_tpu.ref.banded import normalize_record
+
+    rng = np.random.default_rng(11)
+    P, nq, nt, W = 8, 256, 256, 64
+    Q = np.full((P, nq), 4, np.int8)
+    T = np.full((P, nt), 4, np.int8)
+    ql = np.zeros(P, np.int32)
+    tl = np.zeros(P, np.int32)
+    seqs = []
+    for p in range(P):
+        n = int(rng.integers(150, nt))
+        t = sim.random_seq(rng, n)
+        q = sim.mutate(rng, t, 0.05, 0.03, 0.03)[:nq]
+        T[p, :len(t)] = encode(t)
+        tl[p] = len(t)
+        Q[p, :len(q)] = encode(q)
+        ql[p] = len(q)
+        seqs.append((encode(q), encode(t)))
+    s1, je1, js1, ir1, ops1 = banded_align_trace_batch(Q, T, ql, tl, band=W)
+    s2, je2, js2, ir2, ops2 = banded_align_trace_pallas_cached(
+        Q, T, ql, tl, band=W, interpret=True)
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+    np.testing.assert_array_equal(np.asarray(je1), np.asarray(je2))
+    np.testing.assert_array_equal(np.asarray(ir2), 0)
+    np.testing.assert_array_equal(np.asarray(js1), np.asarray(js2))
+    o1, o2 = np.asarray(ops1), np.asarray(ops2)
+    for p in range(P):
+        dense = o1[p][o1[p] != 0]
+        degap = unpack_ops_packed(o2[p])
+        np.testing.assert_array_equal(dense, degap, err_msg=f"pair {p}")
+        # record building: C packed path == python path on plain ops
+        q, t = seqs[p]
+        ref = normalize_record(
+            ops_to_record(q, t, o1[p], int(np.asarray(je1)[p])), q, t)
+        got = native.ops_record_normalize(
+            q, t, o2[p], int(np.asarray(je2)[p]), packed=True)
+        if got is not None:
+            for f in ("cover", "base", "qpos", "ins_len", "ins_qstart"):
+                np.testing.assert_array_equal(
+                    getattr(ref, f), getattr(got, f), err_msg=f"{f} p={p}")
+            assert ref.j_start == got.j_start
+        gotb = native.ops_records_batch([q], [t], o2[p][None, :],
+                                        [int(np.asarray(je2)[p])],
+                                        packed=True)
+        if gotb is not None:
+            for f in ("cover", "base", "qpos", "ins_len", "ins_qstart"):
+                np.testing.assert_array_equal(
+                    getattr(ref, f), getattr(gotb[0], f),
+                    err_msg=f"batch {f} p={p}")
