@@ -34,13 +34,21 @@ def _kmer_codes(seq: np.ndarray, k: int) -> np.ndarray:
 
 
 def find_overlap(target: np.ndarray, query: np.ndarray, k: int = 15,
-                 band: int = 64, min_matches: int = 3):
+                 band: int = 64, min_matches: int = 3,
+                 use_native: bool = True):
     """Best-diagonal overlap of query onto target.
 
     Returns (r_st, r_en, q_st, q_en) half-open coordinates, or None.
     r_* index target, q_* index query (mappy hit convention used by the
     reference zero-repeat splice, bin/determine_consensus.py:119-128).
+    A C fast path (native/overlap.c, ~30x) runs when built; results are
+    identical (tests/test_overlap.py parity).
     """
+    if use_native:
+        from .. import native
+        res = native.find_overlap_c(target, query, k, band, min_matches)
+        if res != "unavailable":
+            return res
     tk = _kmer_codes(target, k)
     qk = _kmer_codes(query, k)
     if len(tk) == 0 or len(qk) == 0:

@@ -107,6 +107,13 @@ def get_lib():
     except AttributeError:
         pass
     try:
+        lib.c3_find_overlap.restype = i32
+        lib.c3_find_overlap.argtypes = [
+            i8p, i64, i8p, i64, i32, i32, i32, i64p,
+        ]
+    except AttributeError:  # stale .so without the overlap symbol
+        pass
+    try:
         lib.c3_dp_score.restype = i64
         lib.c3_dp_score.argtypes = [
             i8p, i64, i8p, i64, i64, i64, i64, i64, i64,
@@ -249,6 +256,27 @@ def vote_consensus_c(nt: int, alns, qmin: int = 5):
                         queries, quals, q_off, qmin,
                         out_codes, out_quals, cap)
     return out_codes[:n].copy(), out_quals[:n].copy()
+
+
+# ---------------- overlap ----------------
+
+def find_overlap_c(target: np.ndarray, query: np.ndarray, k: int = 15,
+                   band: int = 64, min_matches: int = 3):
+    """C fast path for consensus.overlap.find_overlap (exact same
+    algorithm and results).  Returns (r_st, r_en, q_st, q_en), None when
+    no overlap is found, or the string "unavailable" when the library
+    lacks the symbol (caller runs the numpy path)."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "c3_find_overlap"):
+        return "unavailable"
+    target = np.ascontiguousarray(target, dtype=np.int8)
+    query = np.ascontiguousarray(query, dtype=np.int8)
+    out4 = np.empty(4, dtype=np.int64)
+    r = lib.c3_find_overlap(target, len(target), query, len(query),
+                            k, band, min_matches, out4)
+    if r <= 0:
+        return "unavailable" if r < 0 else None
+    return int(out4[0]), int(out4[1]), int(out4[2]), int(out4[3])
 
 
 # ---------------- fastx ----------------
