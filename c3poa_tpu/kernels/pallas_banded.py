@@ -50,6 +50,12 @@ NEG = -(2 ** 28)
 P_TILE = 16        # default pairs per grid step (see p_tile arg)
 STAGE = 132          # staged lookahead chars beyond the window
 QW = 128             # query-char window width / restock period (8 | QW)
+# blocks between stage restocks: consumption <= SMAX * 8 * REFILL_BLOCKS
+# chars, and pad chars entering at the stage tail need STAGE - 1 shifts to
+# reach the window, so REFILL_BLOCKS * SMAX * 8 < STAGE must hold (4 * 24
+# = 96 < 132).  The refill's per-pair rolls are the block body's most
+# expensive op group, so amortizing them 4x is a measured win.
+REFILL_BLOCKS = 4
 
 
 def _sel_shift(M, s, delta, fill):
@@ -140,9 +146,11 @@ def _kernel(ql_ref, tl_ref, q_ref, t_ref, mvp_ref, score_ref, jend_ref,
             Ep = _sel_shift(E, s, 0, NEG)
             buf = _sel_shift(buf, s, 0, 4)
             if u == 0:
-                # restock the staged target chars once per block
-                # (consumes <= SMAX * 8 = 24 < STAGE between restocks)
-                buf = refill(buf, lo_i)
+                # restock the staged target chars every REFILL_BLOCKS
+                # blocks (consumes <= SMAX * 8 * REFILL_BLOCKS < STAGE
+                # between restocks)
+                buf = jax.lax.cond(b % REFILL_BLOCKS == 0,
+                                   lambda: refill(buf, lo_i), lambda: buf)
             qc = qbuf[:, u:u + 1]                                # (P_t, 1)
             tc = buf[:, :W]
             sub = jnp.where((qc == 4) | (tc == 4), 0,
@@ -202,8 +210,14 @@ def _kernel(ql_ref, tl_ref, q_ref, t_ref, mvp_ref, score_ref, jend_ref,
         qbuf = pltpu.roll(qbuf, shift=QW - 8, axis=1)
         return H, E, buf, qbuf, lo_prev, grp
 
+    # dynamic trip count: pairs are packed into tiles sorted by length,
+    # so the tile's longest query bounds the rows that can change state
+    # (rows beyond ql freeze H/E and lo_of saturates at ql).  Rounded up
+    # to whole 8-word flush groups so the last group still flushes.
+    nb = jnp.minimum((jnp.max(ql) + 7) // 8, nq // 8)
+    nb8 = ((nb + 7) // 8) * 8
     Hf, _Ef, _buf, _qbuf, lof, _grp = jax.lax.fori_loop(
-        0, nq // 8, block, (H0, E0, buf0, qbuf0, lo0, grp0))
+        0, nb8, block, (H0, E0, buf0, qbuf0, lo0, grp0))
     mx = jnp.max(Hf, axis=1, keepdims=True)
     score_ref[:] = mx
     # argmax (smallest k on ties); Mosaic's argmax only supports f32
