@@ -220,16 +220,32 @@ def consensus_finalize(state: dict) -> list:
 
     pending_votes = [ji for ji in range(n)
                      if isinstance(cons[ji], tuple) and cons[ji][0] == "draft"]
-    # the C vote path releases the GIL: a small thread pool spreads the
-    # per-read votes over cores
     from ..utils import prof
     with prof.current.stage("vote"):
+        batch_jis = []
         if len(pending_votes) > 16 and _native_available():
-            from concurrent.futures import ThreadPoolExecutor
-            with ThreadPoolExecutor(max_workers=4) as ex:
-                list(ex.map(vote_job, pending_votes))
-        else:
-            for ji in pending_votes:
+            # one GIL-released, multi-threaded C call votes every job of
+            # the group (per-job Python->C round trips and (N, nt)
+            # re-marshalling dominated this stage); 2-voter jobs keep the
+            # reference's exact pairwise merge path
+            batch_jis = [ji for ji in pending_votes
+                         if not (p.pairwise and len(by_owner.get(ji, [])) == 1)]
+            from .. import native
+            drafts = [np.asarray(jobs[ji].subreads[cons[ji][1]],
+                                 dtype=np.int8) for ji in batch_jis]
+            draft_qs = [np.asarray(jobs[ji].sub_quals[cons[ji][1]],
+                                   dtype=np.int8) for ji in batch_jis]
+            res = native.vote_jobs_c(
+                [by_owner.get(ji, []) for ji in batch_jis],
+                drafts, draft_qs, qmin=p.qmin)
+            if res is None:
+                batch_jis = []
+            else:
+                for ji, r in zip(batch_jis, res):
+                    cons[ji], cons_q[ji] = r
+        done = set(batch_jis)
+        for ji in pending_votes:
+            if ji not in done:
                 vote_job(ji)
 
     # ---- rounds 2..R: racon role over core + dangling ----

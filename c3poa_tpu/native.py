@@ -107,6 +107,16 @@ def get_lib():
     except AttributeError:
         pass
     try:
+        lib.c3_vote_jobs.restype = None
+        lib.c3_vote_jobs.argtypes = [
+            i32, i64p, i64p, i64p, i64p, i64p,
+            i8p, i8p, i32p, i32p, i32p, i32p,
+            i8p, i8p, i8p, i8p, i32,
+            i8p, i8p, i32p, i32,
+        ]
+    except AttributeError:  # stale .so without the batched vote symbol
+        pass
+    try:
         lib.c3_find_overlap.restype = i32
         lib.c3_find_overlap.argtypes = [
             i8p, i64, i8p, i64, i32, i32, i32, i64p,
@@ -256,6 +266,96 @@ def vote_consensus_c(nt: int, alns, qmin: int = 5):
                         queries, quals, q_off, qmin,
                         out_codes, out_quals, cap)
     return out_codes[:n].copy(), out_quals[:n].copy()
+
+
+def vote_jobs_c(job_voters, drafts, draft_quals, qmin: int = 5,
+                nthreads: int = 4):
+    """Batched C vote across many jobs in one GIL-released call.
+
+    job_voters: list (per job) of lists of SubreadAln voters — WITHOUT
+    the draft, which is passed separately via drafts/draft_quals and
+    participates as the implicit extra voter (record_for_draft
+    semantics).  Returns a list of (codes, quals) per job, or None when
+    the library/symbol is unavailable.  Per-job buffer overflows
+    (consensus > 2*nt + 64, pathological) are re-voted through the
+    single-job path automatically.
+    """
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "c3_vote_jobs"):
+        return None
+    n_jobs = len(job_voters)
+    if n_jobs == 0:
+        return []
+
+    jv_off = np.zeros(n_jobs + 1, dtype=np.int64)
+    dr_off = np.zeros(n_jobs + 1, dtype=np.int64)
+    out_off = np.zeros(n_jobs + 1, dtype=np.int64)
+    covers, bases, qposs, ins_ls, ins_qs = [], [], [], [], []
+    jspans, queries, quals = [], [], []
+    for j, voters in enumerate(job_voters):
+        jv_off[j + 1] = jv_off[j] + len(voters)
+        nt = len(drafts[j])
+        dr_off[j + 1] = dr_off[j] + nt
+        out_off[j + 1] = out_off[j] + 2 * nt + 64
+        for rec, query, qual in voters:
+            covers.append(rec.cover)
+            bases.append(rec.base)
+            qposs.append(rec.qpos)
+            ins_ls.append(rec.ins_len)
+            ins_qs.append(rec.ins_qstart)
+            jspans.append(rec.j_start)
+            jspans.append(rec.j_end)
+            queries.append(query)
+            quals.append(qual)
+
+    def blob(parts, dtype):
+        if not parts:
+            return np.zeros(0, dtype=dtype)
+        return np.ascontiguousarray(np.concatenate(parts), dtype=dtype)
+
+    vnt = np.array([len(c) for c in covers], dtype=np.int64)
+    vnt_off = np.zeros(len(covers) + 1, dtype=np.int64)
+    np.cumsum(vnt, out=vnt_off[1:])
+    q_len = np.array([len(q) for q in queries], dtype=np.int64)
+    q_off = np.zeros(len(queries) + 1, dtype=np.int64)
+    np.cumsum(q_len, out=q_off[1:])
+
+    cover_b = blob(covers, np.int8)
+    base_b = blob(bases, np.int8)
+    qpos_b = blob(qposs, np.int32)
+    ins_l_b = blob(ins_ls, np.int32)
+    ins_q_b = blob(ins_qs, np.int32)
+    j_span = np.asarray(jspans, dtype=np.int32)
+    query_b = blob(queries, np.int8)
+    qual_b = blob(quals, np.int8)
+    draft_b = blob(list(drafts), np.int8)
+    draft_q_b = blob(list(draft_quals), np.int8)
+
+    total_out = int(out_off[-1])
+    out_codes = np.empty(total_out, dtype=np.int8)
+    out_quals = np.empty(total_out, dtype=np.int8)
+    out_lens = np.empty(n_jobs, dtype=np.int32)
+
+    lib.c3_vote_jobs(
+        n_jobs, jv_off, vnt_off, q_off, dr_off, out_off,
+        cover_b, base_b, qpos_b, ins_l_b, ins_q_b, j_span,
+        query_b, qual_b, draft_b, draft_q_b, qmin,
+        out_codes, out_quals, out_lens, nthreads)
+
+    results = []
+    for j in range(n_jobs):
+        n = int(out_lens[j])
+        if n < 0:
+            # overflow: re-vote this job alone with a growing buffer
+            from .consensus.vote import record_for_draft
+            alns = [record_for_draft(drafts[j], draft_quals[j])] \
+                + list(job_voters[j])
+            results.append(vote_consensus_c(len(drafts[j]), alns, qmin))
+            continue
+        a = int(out_off[j])
+        results.append((out_codes[a:a + n].copy(),
+                        out_quals[a:a + n].copy()))
+    return results
 
 
 # ---------------- overlap ----------------

@@ -226,12 +226,17 @@ static inline int64_t colkey(int64_t cnt, int64_t qs, int32_t pref) {
     return (cnt << 40) + (qs << 3) + pref;
 }
 
-int32_t c3_vote(
+/* Core vote over N stacked records plus an optional implicit draft
+ * voter (draft != NULL): the draft participates as a trivially aligned
+ * record — cover 1 everywhere, no insertions, span [0, nt] — exactly
+ * consensus/vote.record_for_draft without materializing its arrays. */
+static int32_t vote_one(
     int32_t N, int32_t nt,
     const int8_t *cover, const int8_t *base, const int32_t *qpos,
     const int32_t *ins_len, const int32_t *ins_qstart,
     const int32_t *j_span,
     const int8_t *queries, const int8_t *quals, const int64_t *q_off,
+    const int8_t *draft, const int8_t *draft_q,
     int32_t qmin,
     int8_t *out_codes, int8_t *out_quals, int32_t cap
 ) {
@@ -248,6 +253,7 @@ int32_t c3_vote(
         if (ins_any) {
             int32_t len_cnt[MAX_INS + 1];
             memset(len_cnt, 0, sizeof(len_cnt));
+            if (draft) len_cnt[0]++;  /* the draft spans every slot, L=0 */
             for (int32_t a = 0; a < N; a++) {
                 int32_t js = j_span[a * 2], je = j_span[a * 2 + 1];
                 if (js <= j && j <= je) {
@@ -304,6 +310,15 @@ int32_t c3_vote(
         /* ---- column j ---- */
         if (j >= nt) break;
         int64_t cnt[5] = {0}, cnt_all[5] = {0}, qs[5] = {0};
+        if (draft) {
+            int8_t b = draft[j];
+            if (b < 4) {
+                int32_t qv = draft_q[j];
+                if (qv >= qmin) cnt[b]++;
+                cnt_all[b]++;
+                qs[b] += qv;
+            }
+        }
         for (int32_t a = 0; a < N; a++) {
             int8_t cv = cover[(size_t)a * nt + j];
             if (cv == 1) {
@@ -344,6 +359,117 @@ int32_t c3_vote(
         out++;
     }
     return out;
+}
+
+int32_t c3_vote(
+    int32_t N, int32_t nt,
+    const int8_t *cover, const int8_t *base, const int32_t *qpos,
+    const int32_t *ins_len, const int32_t *ins_qstart,
+    const int32_t *j_span,
+    const int8_t *queries, const int8_t *quals, const int64_t *q_off,
+    int32_t qmin,
+    int8_t *out_codes, int8_t *out_quals, int32_t cap
+) {
+    return vote_one(N, nt, cover, base, qpos, ins_len, ins_qstart, j_span,
+                    queries, quals, q_off, NULL, NULL, qmin,
+                    out_codes, out_quals, cap);
+}
+
+/* ---------------- batched per-group voting ----------------
+ *
+ * One call votes every job of a read group (the per-job Python->C round
+ * trips and (N, nt) re-marshalling dominated the vote stage).  All
+ * voters arrive concatenated job-major:
+ *   jv_off (n_jobs+1): voter index range of job j;
+ *   vnt_off (total_voters+1): offset of voter v's nt-wide arrays in the
+ *     cover/base/qpos blobs (nt1 arrays use vnt_off[v] + v);
+ *   q_off (total_voters+1): offset of voter v's query/qual;
+ *   dr_off (n_jobs+1): offset of job j's draft codes/quals (the draft is
+ *     the implicit extra voter); nt_job[j] = dr_off[j+1] - dr_off[j];
+ *   out_off (n_jobs+1): output slice per job (capacity out_off[j+1]-out_off[j]).
+ * out_lens[j] = emitted length, or -1 on per-job overflow (caller
+ * re-votes that job with a bigger buffer).  Jobs fan out over nthreads
+ * POSIX threads (voting is embarrassingly parallel across jobs).
+ */
+
+typedef struct {
+    int32_t n_jobs;
+    const int64_t *jv_off;
+    const int64_t *vnt_off;
+    const int64_t *q_off;
+    const int64_t *dr_off;
+    const int64_t *out_off;
+    const int8_t *cover; const int8_t *base; const int32_t *qpos;
+    const int32_t *ins_len; const int32_t *ins_qstart;
+    const int32_t *j_span;
+    const int8_t *queries; const int8_t *quals;
+    const int8_t *drafts; const int8_t *draft_qs;
+    int32_t qmin;
+    int8_t *out_codes; int8_t *out_quals;
+    int32_t *out_lens;
+    int32_t tid, nthreads;
+} vote_jobs_ctx;
+
+static void *vote_jobs_worker(void *arg) {
+    vote_jobs_ctx *c = (vote_jobs_ctx *)arg;
+    for (int32_t j = c->tid; j < c->n_jobs; j += c->nthreads) {
+        int64_t v0 = c->jv_off[j], v1 = c->jv_off[j + 1];
+        int32_t N = (int32_t)(v1 - v0);
+        int32_t nt = (int32_t)(c->dr_off[j + 1] - c->dr_off[j]);
+        int64_t base_nt = c->vnt_off[v0];
+        /* q_off entries are absolute into the global query/qual blobs,
+         * so the blob pointers pass through unrebased */
+        c->out_lens[j] = vote_one(
+            N, nt,
+            c->cover + base_nt, c->base + base_nt, c->qpos + base_nt,
+            c->ins_len + base_nt + v0, c->ins_qstart + base_nt + v0,
+            c->j_span + v0 * 2,
+            c->queries, c->quals, c->q_off + v0,
+            c->drafts + c->dr_off[j], c->draft_qs + c->dr_off[j],
+            c->qmin,
+            c->out_codes + c->out_off[j], c->out_quals + c->out_off[j],
+            (int32_t)(c->out_off[j + 1] - c->out_off[j]));
+    }
+    return NULL;
+}
+
+#include <pthread.h>
+
+void c3_vote_jobs(
+    int32_t n_jobs,
+    const int64_t *jv_off, const int64_t *vnt_off, const int64_t *q_off,
+    const int64_t *dr_off, const int64_t *out_off,
+    const int8_t *cover, const int8_t *base, const int32_t *qpos,
+    const int32_t *ins_len, const int32_t *ins_qstart,
+    const int32_t *j_span,
+    const int8_t *queries, const int8_t *quals,
+    const int8_t *drafts, const int8_t *draft_qs,
+    int32_t qmin,
+    int8_t *out_codes, int8_t *out_quals, int32_t *out_lens,
+    int32_t nthreads
+) {
+    if (nthreads < 1) nthreads = 1;
+    if (nthreads > 16) nthreads = 16;
+    vote_jobs_ctx ctxs[16];
+    pthread_t tids[16];
+    int created[16] = {0};
+    for (int32_t t = 0; t < nthreads; t++) {
+        ctxs[t] = (vote_jobs_ctx){
+            n_jobs, jv_off, vnt_off, q_off, dr_off, out_off,
+            cover, base, qpos, ins_len, ins_qstart, j_span,
+            queries, quals, drafts, draft_qs, qmin,
+            out_codes, out_quals, out_lens, t, nthreads};
+        if (t < nthreads - 1 &&
+            pthread_create(&tids[t], NULL, vote_jobs_worker, &ctxs[t]) == 0) {
+            created[t] = 1;
+        } else {
+            /* last slot (or create failure) runs inline; the tid/stride
+             * layout stays intact so every job is still covered */
+            vote_jobs_worker(&ctxs[t]);
+        }
+    }
+    for (int32_t t = 0; t < nthreads; t++)
+        if (created[t]) pthread_join(tids[t], NULL);
 }
 
 /* Batched record building: one call per device launch instead of one

@@ -90,3 +90,39 @@ def test_dp_score_c_matches_numpy():
         s_np, j_np, _, _ = banded_align(q, t, band=band)
         s_c, j_c = native.dp_score_c(q, t, band=band)
         assert (s_c, j_c) == (int(s_np), int(j_np)), (nq, nt, band)
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_native_vote_jobs_matches_per_job(seed):
+    """c3_vote_jobs (batched, threaded, implicit draft voter) must equal
+    the per-job python vote for every job: varied voter counts (incl. a
+    draft-only job), insertions, qmin gating, and N bases."""
+    if not hasattr(native.get_lib(), "c3_vote_jobs"):
+        pytest.skip("batched vote symbol not built")
+    rng = np.random.default_rng(seed + 90)
+    p = ConsensusParams()
+    job_voters, drafts, draft_qs, want = [], [], [], []
+    for j in range(12):
+        truth = sim.random_seq(rng, int(rng.integers(80, 500)))
+        draft = encode(sim.mutate(rng, truth, 0.04, 0.02, 0.02))
+        if rng.random() < 0.2:  # sprinkle N bases into the draft
+            draft[rng.integers(0, len(draft), 3)] = 4
+        dq = rng.integers(0, 40, len(draft)).astype(np.int8)
+        nv = int(rng.integers(0, 7))  # 0 = draft-only job
+        pairs = []
+        for _ in range(nv):
+            s = encode(sim.mutate(rng, truth, 0.05, 0.025, 0.025))
+            pairs.append((s, rng.integers(0, 40, len(s)).astype(np.int8),
+                          draft))
+        voters = serial_align_many(pairs, p)
+        job_voters.append(voters)
+        drafts.append(draft)
+        draft_qs.append(dq)
+        alns = [record_for_draft(draft, dq)] + voters
+        want.append(vote_consensus(len(draft), alns, qmin=5,
+                                   use_native=False))
+    got = native.vote_jobs_c(job_voters, drafts, draft_qs, qmin=5)
+    assert got is not None
+    for j, (g, w) in enumerate(zip(got, want)):
+        np.testing.assert_array_equal(g[0], w[0], err_msg=f"job {j} codes")
+        np.testing.assert_array_equal(g[1], w[1], err_msg=f"job {j} quals")
