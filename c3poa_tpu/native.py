@@ -447,14 +447,18 @@ def set_arena_slot(slot: int) -> None:
     _ARENA_SLOT = int(slot) & 1
 
 
-def ops_records_batch(qs, ts, ops, j_ends, packed: bool = False):
+def ops_records_batch(qs, ts, ops, j_ends, packed: bool = False,
+                      phase: int = 0):
     """Batched C record building + normalization for one device launch.
 
     qs/ts: lists of int8 code arrays; ops: (n, L) uint8 walk ops
     (2-bit packed, gapped, when ``packed``); j_ends: (n,) ints.  Returns
     a list of normalized AlignRecords whose arrays are views into shared
     arenas, or None when the symbol is missing.  One GIL-released C call
-    replaces n Python->C round trips.
+    replaces n Python->C round trips.  ``phase`` selects an independent
+    arena family — callers issuing several batches whose records must
+    stay alive together (e.g. packed + unpacked ops encodings of one
+    group) give each batch its own phase.
     """
     lib = get_lib()
     if lib is None or not hasattr(lib, "c3_ops_records_batch"):
@@ -483,7 +487,7 @@ def ops_records_batch(qs, ts, ops, j_ends, packed: bool = False):
     # next group's align call (single-threaded align path), so reuse is
     # safe within the pipeline's group-at-a-time structure.
     def arena(name, size, dtype):
-        key = (name, _ARENA_SLOT)
+        key = (name, _ARENA_SLOT, phase)
         buf = _ARENAS.get(key)
         if buf is None or buf.size < size or buf.dtype != dtype:
             buf = np.empty(int(size * 1.25), dtype=dtype)

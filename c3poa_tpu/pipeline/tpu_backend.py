@@ -138,16 +138,17 @@ def _align_trace_impl(Q, T, ql, tl, *, band, match, mismatch, gap_open,
     faster at the shipped batch shapes, tools/kernel_bench.py) + the
     word-cached walk, whose ops come out 2-bit packed with gaps
     (kernels/banded.walk_ops_cached).  The XLA scan + plain walk remains
-    the CPU/test/mesh path.  Callers get the packed flag from
-    _pallas_align_on()."""
-    if _pallas_align_on():
+    the CPU/test/mesh path, and covers rows > 4096 where the Pallas
+    (P_TILE, nq/8, W) move-word out block exceeds the 16 MB scoped VMEM
+    limit under double buffering.  Returns (result, ops_packed)."""
+    if _pallas_align_on() and Q.shape[1] <= 4096:
         from ..kernels.pallas_banded import banded_align_trace_pallas_cached
         return banded_align_trace_pallas_cached(
             Q, T, ql, tl, band=band, match=match, mismatch=mismatch,
-            gap_open=gap_open, gap_ext=gap_ext, p_tile=32)
+            gap_open=gap_open, gap_ext=gap_ext, p_tile=32), True
     return banded_align_trace_batch(
         Q, T, ql, tl, band=band, match=match, mismatch=mismatch,
-        gap_open=gap_open, gap_ext=gap_ext)
+        gap_open=gap_open, gap_ext=gap_ext), False
 
 
 class TpuBackend:
@@ -418,20 +419,20 @@ class TpuBackend:
                 res = self._sharded_align(
                     W, params.match, params.mismatch, params.gap_open,
                     params.gap_ext)(Q, T, ql, tl)
+                packed = False
             else:
-                res = _align_trace_impl(
+                res, packed = _align_trace_impl(
                     Q, T, ql, tl, band=W, match=params.match,
                     mismatch=params.mismatch, gap_open=params.gap_open,
                     gap_ext=params.gap_ext)
-            launches.append((chunk, res))
-        packed_ops = self.mesh is None and _pallas_align_on()
+            launches.append((chunk, res, packed))
 
         def build_record(args):
-            i, q, qual, t, ops_row, j_end, score = args
+            i, q, qual, t, ops_row, j_end, score, packed = args
             rec = native.ops_record_normalize(q, t, ops_row, j_end,
-                                              packed=packed_ops)
+                                              packed=packed)
             if rec is None:  # no native lib: python fallback
-                if packed_ops:
+                if packed:
                     from ..kernels.banded import unpack_ops_packed
                     ops_row = unpack_ops_packed(ops_row)
                 rec = ops_to_record(q, t, ops_row, j_end)
@@ -449,7 +450,8 @@ class TpuBackend:
         work = []
         rewalk: list[int] = []   # truncated walks (pathological paths)
         with prof.current.stage("align_wait"):
-            for chunk, (scores, j_ends, _j_starts, i_rem, ops) in launches:
+            for chunk, (scores, j_ends, _j_starts, i_rem, ops), packed \
+                    in launches:
                 scores = np.asarray(scores)
                 j_ends = np.asarray(j_ends)
                 i_rem = np.asarray(i_rem)
@@ -460,28 +462,36 @@ class TpuBackend:
                         continue
                     q, qual, t = pairs[i]
                     work.append((i, q, qual, t, ops[r], int(j_ends[r]),
-                                 int(scores[r])))
+                                 int(scores[r]), packed))
         with prof.current.stage("align_host_records"):
             done = False
             if work and native.available():
-                # one GIL-released C call builds + normalizes every record
-                # of the group (per-record Python round trips dominated).
-                # ops widths differ per bucket; zero-pad (op 0 = end)
-                L = max(len(w[4]) for w in work)
-                opsmat = np.zeros((len(work), L), dtype=np.uint8)
-                for k, w in enumerate(work):
-                    opsmat[k, :len(w[4])] = w[4]
-                recs = native.ops_records_batch(
-                    [w[1] for w in work], [w[3] for w in work],
-                    opsmat, [w[5] for w in work], packed=packed_ops)
-                if recs is not None:
-                    for (i, q, qual, t, _o, _j, score), rec in \
-                            zip(work, recs):
+                # one GIL-released C call per ops encoding builds +
+                # normalizes every record of the group (per-record Python
+                # round trips dominated).  ops widths differ per bucket;
+                # zero-pad (op 0 = end)
+                done = True
+                for packed in (True, False):
+                    ws = [w for w in work if w[7] == packed]
+                    if not ws:
+                        continue
+                    L = max(len(w[4]) for w in ws)
+                    opsmat = np.zeros((len(ws), L), dtype=np.uint8)
+                    for k, w in enumerate(ws):
+                        opsmat[k, :len(w[4])] = w[4]
+                    recs = native.ops_records_batch(
+                        [w[1] for w in ws], [w[3] for w in ws],
+                        opsmat, [w[5] for w in ws], packed=packed,
+                        phase=int(packed))
+                    if recs is None:
+                        done = False
+                        break
+                    for (i, q, qual, t, _o, _j, score, _p), rec in \
+                            zip(ws, recs):
                         out[i] = SubreadAln(
                             rec._replace(score=score),
                             np.asarray(q, dtype=np.int8),
                             np.asarray(qual, dtype=np.int8))
-                    done = True
             if not done:
                 if len(work) > 64 and native.available():
                     with ThreadPoolExecutor(max_workers=4) as ex:
