@@ -21,14 +21,15 @@ from .smooth import smooth3_batch
 from .sw_profile import start_profile_batch
 
 
-def _profile_impl(reads, splints):
+def _profile_impl(reads, splints, lens=None):
     """Profile kernel selection.
 
     The Pallas kernel (kernels/pallas_profile.py) is bit-identical and the
     default on accelerators: measured on the v5e it sustains 15.1 G
     cells/s at (512, 32768, C=2, m=288) vs 3.2 G for the XLA scan — a
-    4.8x speedup that holds from B=64 up (tools/kernel_bench.py).  The
-    XLA scan remains the CPU/test path and the fallback for shapes the
+    4.8x speedup that holds from B=64 up (tools/kernel_bench.py), and it
+    skips read tiles past every read's end (callers chunk length-sorted).
+    The XLA scan remains the CPU/test path and the fallback for shapes the
     kernel's tiling cannot take (B % 8 or L % 2048 != 0 — the backend's
     buckets always satisfy both).  Set C3POA_USE_PALLAS=0 to force XLA."""
     import os
@@ -37,7 +38,7 @@ def _profile_impl(reads, splints):
             jax.default_backend() not in ("cpu",) and \
             B % 8 == 0 and L % 2048 == 0:
         from .pallas_profile import start_profile_pallas
-        return start_profile_pallas(reads, splints)
+        return start_profile_pallas(reads, splints, lens)
     return start_profile_batch(reads, splints)
 
 
@@ -49,7 +50,7 @@ def locate_device(reads: jax.Array, lens: jax.Array, splints: jax.Array,
     Returns (combo (B,) int32, best_score (B,) int32,
              cand_pos (B, L/tile) int32, cand_h (B, L/tile) f32,
              med (B,) f32)."""
-    prof = _profile_impl(reads, splints)                # (B, C, L) int32
+    prof = _profile_impl(reads, splints, lens)          # (B, C, L) int32
     per_combo = jnp.max(prof, axis=2)                   # (B, C)
     combo = jnp.argmax(per_combo, axis=1).astype(jnp.int32)
     best_score = jnp.max(per_combo, axis=1)

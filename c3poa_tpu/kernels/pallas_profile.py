@@ -38,59 +38,77 @@ def _round_up(x, n):
     return -(-x // n) * n
 
 
-def _kernel(splints_ref, reads_ref, ext_ref, out_ref,
+def _kernel(splints_ref, lens_ref, reads_ref, ext_ref, out_ref,
             *, match, mismatch, gap, m, C, W, OV, levels, n_ltiles):
     lt = pl.program_id(1)
     is_last = lt == n_ltiles - 1
 
-    rd_main = reads_ref[:].astype(jnp.int32)              # (B_t, TILE_L)
-    rd_ext = ext_ref[:, :OV].astype(jnp.int32)            # (B_t, OV)
-    # the last tile has no right neighbour: its extension is padding
-    rd_ext = jnp.where(is_last, 4, rd_ext)
-    rd = jnp.concatenate([rd_main, rd_ext], axis=1)       # (B_t, W)
+    # tiles past every read's end are exact zeros (pad chars score 0 and
+    # local scores clamp at 0): skip the whole DP.  Reads are chunked
+    # length-sorted (tpu_backend.locate_many), so short-read batches in a
+    # power-of-two length bucket skip most of their tiles.
+    b0 = pl.program_id(0) * B_TILE   # lens is an unblocked SMEM array
+    lmax = lens_ref[b0]
+    for b in range(1, B_TILE):
+        lmax = jnp.maximum(lmax, lens_ref[b0 + b])
+    live = lt * TILE_L < lmax
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (B_TILE, W), 1)
+    @pl.when(jnp.logical_not(live))
+    def _zeros():
+        out_ref[:] = jnp.zeros((B_TILE, C, TILE_L), dtype=jnp.int32)
 
-    def make_row(c):
-        def row(t, carry):
-            G_row, colmax = carry
-            i = m - 1 - t
-            sc = splints_ref[c * m + i]                   # SMEM scalar
-            sub = jnp.where((sc == 4) | (rd == 4), 0,
-                            jnp.where(rd == sc, match, mismatch))
-            # diag: G[i+1][j+1]; zero right boundary
-            shifted = pltpu.roll(G_row, shift=W - 1, axis=1)
-            shifted = jnp.where(lane == W - 1, 0, shifted)
-            diag = shifted + sub
-            up = G_row - gap
-            T = jnp.maximum(jnp.maximum(diag, up), 0)
-            # bounded-reach reverse running max (exact: reach >= horizon)
-            A = T - gap * lane
-            d = 1
-            for _ in range(levels):
-                sh = pltpu.roll(A, shift=W - d, axis=1)
-                sh = jnp.where(lane < W - d, sh, NEG)
-                A = jnp.maximum(A, sh)
-                d *= 2
-            G_new = A + gap * lane
-            return G_new, jnp.maximum(colmax, G_new)
-        return row
+    @pl.when(live)
+    def _dp():
+        rd_main = reads_ref[:].astype(jnp.int32)          # (B_t, TILE_L)
+        rd_ext = ext_ref[:, :OV].astype(jnp.int32)        # (B_t, OV)
+        # the last tile has no right neighbour: its extension is padding
+        rd_ext2 = jnp.where(is_last, 4, rd_ext)
+        rd = jnp.concatenate([rd_main, rd_ext2], axis=1)  # (B_t, W)
 
-    Z = jnp.zeros((B_TILE, W), dtype=jnp.int32)
-    for c in range(C):
-        _G, colmax = jax.lax.fori_loop(0, m, make_row(c), (Z, Z))
-        out_ref[:, c, :] = colmax[:, :TILE_L]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (B_TILE, W), 1)
+
+        def make_row(c):
+            def row(t, carry):
+                G_row, colmax = carry
+                i = m - 1 - t
+                sc = splints_ref[c * m + i]               # SMEM scalar
+                sub = jnp.where((sc == 4) | (rd == 4), 0,
+                                jnp.where(rd == sc, match, mismatch))
+                # diag: G[i+1][j+1]; zero right boundary
+                shifted = pltpu.roll(G_row, shift=W - 1, axis=1)
+                shifted = jnp.where(lane == W - 1, 0, shifted)
+                diag = shifted + sub
+                up = G_row - gap
+                T = jnp.maximum(jnp.maximum(diag, up), 0)
+                # bounded-reach reverse running max (exact: reach >= horizon)
+                A = T - gap * lane
+                d = 1
+                for _ in range(levels):
+                    sh = pltpu.roll(A, shift=W - d, axis=1)
+                    sh = jnp.where(lane < W - d, sh, NEG)
+                    A = jnp.maximum(A, sh)
+                    d *= 2
+                G_new = A + gap * lane
+                return G_new, jnp.maximum(colmax, G_new)
+            return row
+
+        Z = jnp.zeros((B_TILE, W), dtype=jnp.int32)
+        for c in range(C):
+            _G, colmax = jax.lax.fori_loop(0, m, make_row(c), (Z, Z))
+            out_ref[:, c, :] = colmax[:, :TILE_L]
 
 
 @functools.partial(jax.jit,
                    static_argnames=("match", "mismatch", "gap", "interpret"))
 def start_profile_pallas(reads: jax.Array, splints: jax.Array,
+                         lens: jax.Array | None = None,
                          match: int = 1, mismatch: int = -2, gap: int = 2,
                          interpret: bool = False) -> jax.Array:
     """Drop-in replacement for start_profile_batch (bit-identical output).
 
     reads (B, L) int8 pad 4 with B % 8 == 0 and L % 2048 == 0;
-    splints (C, m) int8 pad 4.  Returns (B, C, L) int32.
+    splints (C, m) int8 pad 4; lens (B,) int32 real read lengths (None =
+    all L; only used to skip all-pad tiles).  Returns (B, C, L) int32.
     """
     B, L = reads.shape
     C, m = splints.shape
@@ -105,6 +123,9 @@ def start_profile_pallas(reads: jax.Array, splints: jax.Array,
         levels += 1
 
     splints_flat = splints.astype(jnp.int32).reshape(C * m)
+    if lens is None:
+        lens = jnp.full((B,), L, dtype=jnp.int32)
+    lens = lens.astype(jnp.int32)
 
     kernel = functools.partial(
         _kernel, match=match, mismatch=mismatch, gap=gap, m=m, C=C,
@@ -113,6 +134,7 @@ def start_profile_pallas(reads: jax.Array, splints: jax.Array,
         kernel,
         grid=(nB, nL),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((B_TILE, TILE_L), lambda b, l: (b, l),
                          memory_space=pltpu.VMEM),
@@ -125,4 +147,4 @@ def start_profile_pallas(reads: jax.Array, splints: jax.Array,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, C, L), jnp.int32),
         interpret=interpret,
-    )(splints_flat, reads, reads)
+    )(splints_flat, lens, reads, reads)

@@ -262,6 +262,10 @@ class TpuBackend:
         tile = tile_for_distance(int(min_dist))
         launches = []
         for L, idxs in sorted(by_bucket.items()):
+            # longest-first within the bucket: the profile kernel skips
+            # read tiles past every read's end per 8-read tile, so
+            # grouping similar lengths maximizes skipped tiles
+            idxs.sort(key=lambda i: -len(reads[i]))
             start = 0
             # a padded locate row costs L*C*m cells (~0.6 ms at L=16k),
             # so ~128 padded rows buy one extra relay dispatch
