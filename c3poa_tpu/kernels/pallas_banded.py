@@ -72,8 +72,8 @@ def _sel_shift(M, s, delta, fill):
 
 
 def _kernel(ql_ref, tl_ref, q_ref, t_ref, mvp_ref, score_ref, jend_ref,
-            *, match, mismatch, gap_open, gap_ext, W, nq, nt, levels,
-            P_TILE):
+            H_s, E_s, buf_s, qbuf_s, lo_s, *, match, mismatch, gap_open,
+            gap_ext, W, nq, nt, levels, P_TILE, RC8, NC):
     oe = gap_open + gap_ext
     e = gap_ext
     ql = ql_ref[:].astype(jnp.int32)          # (P_t, 1)
@@ -82,6 +82,7 @@ def _kernel(ql_ref, tl_ref, q_ref, t_ref, mvp_ref, score_ref, jend_ref,
     hi = jnp.maximum(tl + 1 - W, 0)
     Q = q_ref[:].astype(jnp.int32)            # (P_t, nq)
     T = t_ref[:].astype(jnp.int32)            # (P_t, nt)
+    ci = pl.program_id(1)                     # row-chunk index (sequential)
 
     def lo_of(i):
         i_eff = jnp.minimum(i, ql).astype(jnp.float32)
@@ -105,15 +106,21 @@ def _kernel(ql_ref, tl_ref, q_ref, t_ref, mvp_ref, score_ref, jend_ref,
         stage = jnp.where((pos < 0) | (pos >= tl), 4, stage)
         return jnp.concatenate([buf[:, :W], stage], axis=1)
 
-    lo0 = lo_of(jnp.int32(0))
-    in_band0 = (lo0 + karr) <= tl
-    H0 = jnp.where(in_band0, 0, NEG)
-    E0 = jnp.full((P_TILE, W), NEG, dtype=jnp.int32)
-    # initial window anchor a = lo(0) - 1 = -1: [pad | t[0:W+STAGE-1]]
-    buf0 = jnp.concatenate(
-        [jnp.full((P_TILE, 1), 4, dtype=jnp.int32), T[:, :W + STAGE - 1]],
-        axis=1)
-    qbuf0 = Q[:, :QW]
+    # chunk 0 initializes the carried DP state; later chunks resume it
+    # from VMEM scratch (grid dim 1 is sequential / "arbitrary")
+    @pl.when(ci == 0)
+    def _init():
+        lo0 = lo_of(jnp.int32(0))
+        in_band0 = (lo0 + karr) <= tl
+        H_s[:] = jnp.where(in_band0, 0, NEG)
+        E_s[:] = jnp.full((P_TILE, W), NEG, dtype=jnp.int32)
+        # initial window anchor a = lo(0) - 1 = -1: [pad | t[0:W+STAGE-1]]
+        buf_s[:] = jnp.concatenate(
+            [jnp.full((P_TILE, 1), 4, dtype=jnp.int32),
+             T[:, :W + STAGE - 1]], axis=1)
+        qbuf_s[:] = Q[:, :QW]
+        lo_s[:] = lo0
+
     grp0 = jnp.zeros((P_TILE, 8, W), dtype=jnp.int32)
 
     # One fori_loop step = one 8-row block = one finished move word:
@@ -204,7 +211,9 @@ def _kernel(ql_ref, tl_ref, q_ref, t_ref, mvp_ref, score_ref, jend_ref,
 
         @pl.when(slot == 7)
         def _flush():
-            base = pl.multiple_of(b - 7, 8)
+            # chunk-local word index: this chunk's out block covers
+            # words [ci * RC8, (ci + 1) * RC8)
+            base = pl.multiple_of(b - 7 - ci * RC8, 8)
             mvp_ref[:, pl.ds(base, 8), :] = grp
 
         qbuf = pltpu.roll(qbuf, shift=QW - 8, axis=1)
@@ -216,13 +225,22 @@ def _kernel(ql_ref, tl_ref, q_ref, t_ref, mvp_ref, score_ref, jend_ref,
     # to whole 8-word flush groups so the last group still flushes.
     nb = jnp.minimum((jnp.max(ql) + 7) // 8, nq // 8)
     nb8 = ((nb + 7) // 8) * 8
-    Hf, _Ef, _buf, _qbuf, lof, _grp = jax.lax.fori_loop(
-        0, nb8, block, (H0, E0, buf0, qbuf0, lo0, grp0))
-    mx = jnp.max(Hf, axis=1, keepdims=True)
-    score_ref[:] = mx
-    # argmax (smallest k on ties); Mosaic's argmax only supports f32
-    k_end = jnp.min(jnp.where(Hf == mx, karr, W), axis=1, keepdims=True)
-    jend_ref[:] = lof + k_end
+    # this chunk's share of the blocks (RC8 is a multiple of 8, so flush
+    # groups never straddle chunks)
+    b_st = ci * RC8
+    b_en = jnp.clip(nb8, b_st, b_st + RC8)
+    H, E, buf, qbuf, lof = (H_s[:], E_s[:], buf_s[:], qbuf_s[:], lo_s[:])
+    Hf, Ef, buff, qbuff, lof, _grp = jax.lax.fori_loop(
+        b_st, b_en, block, (H, E, buf, qbuf, lof, grp0))
+    H_s[:], E_s[:], buf_s[:], qbuf_s[:], lo_s[:] = Hf, Ef, buff, qbuff, lof
+
+    @pl.when(ci == NC - 1)
+    def _final():
+        mx = jnp.max(Hf, axis=1, keepdims=True)
+        score_ref[:] = mx
+        # argmax (smallest k on ties); Mosaic's argmax only supports f32
+        k_end = jnp.min(jnp.where(Hf == mx, karr, W), axis=1, keepdims=True)
+        jend_ref[:] = lof + k_end
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -248,8 +266,14 @@ def banded_fwd_pallas_packed(queries, targets, q_lens, t_lens,
         q_lens = jnp.pad(jnp.asarray(q_lens), (0, padP), constant_values=1)
         t_lens = jnp.pad(jnp.asarray(t_lens), (0, padP), constant_values=1)
         P += padP
-    if nq % 64:
-        queries = jnp.pad(queries, ((0, 0), (0, 64 - nq % 64)),
+    # row-chunked grid: the move-word out block is (P_TILE, RC8, W) per
+    # chunk instead of (P_TILE, nq/8, W), so VMEM pressure is independent
+    # of nq (the monolithic block OOMed scoped VMEM at nq >= 6144) and
+    # larger p_tile fits.  DP state carries across chunks in VMEM scratch
+    # (grid dims are sequential on TPU).
+    RCHUNK = 512
+    if nq % RCHUNK:
+        queries = jnp.pad(queries, ((0, 0), (0, RCHUNK - nq % RCHUNK)),
                           constant_values=4)
         nq = queries.shape[1]
     min_nt = W + STAGE + 8
@@ -262,32 +286,35 @@ def banded_fwd_pallas_packed(queries, targets, q_lens, t_lens,
     while (1 << levels) < W:
         levels += 1
 
+    RC8 = RCHUNK // 8
+    NC = nq // RCHUNK
     kernel = functools.partial(
         _kernel, match=match, mismatch=mismatch, gap_open=gap_open,
-        gap_ext=gap_ext, W=W, nq=nq, nt=nt, levels=levels, P_TILE=P_TILE)
+        gap_ext=gap_ext, W=W, nq=nq, nt=nt, levels=levels, P_TILE=P_TILE,
+        RC8=RC8, NC=NC)
     ql = q_lens.astype(jnp.int32).reshape(P, 1)
     tl = t_lens.astype(jnp.int32).reshape(P, 1)
     nP = P // P_TILE
     nq8 = nq // 8
     mvp, score, jend = pl.pallas_call(
         kernel,
-        grid=(nP,),
+        grid=(nP, NC),
         in_specs=[
-            pl.BlockSpec((P_TILE, 1), lambda p: (p, 0),
+            pl.BlockSpec((P_TILE, 1), lambda p, c: (p, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((P_TILE, 1), lambda p: (p, 0),
+            pl.BlockSpec((P_TILE, 1), lambda p, c: (p, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((P_TILE, nq), lambda p: (p, 0),
+            pl.BlockSpec((P_TILE, nq), lambda p, c: (p, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((P_TILE, nt), lambda p: (p, 0),
+            pl.BlockSpec((P_TILE, nt), lambda p, c: (p, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((P_TILE, nq8, W), lambda p: (p, 0, 0),
+            pl.BlockSpec((P_TILE, RC8, W), lambda p, c: (p, c, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((P_TILE, 1), lambda p: (p, 0),
+            pl.BlockSpec((P_TILE, 1), lambda p, c: (p, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((P_TILE, 1), lambda p: (p, 0),
+            pl.BlockSpec((P_TILE, 1), lambda p, c: (p, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
@@ -295,6 +322,13 @@ def banded_fwd_pallas_packed(queries, targets, q_lens, t_lens,
             jax.ShapeDtypeStruct((P, 1), jnp.int32),
             jax.ShapeDtypeStruct((P, 1), jnp.int32),
         ),
+        scratch_shapes=[
+            pltpu.VMEM((P_TILE, W), jnp.int32),            # H
+            pltpu.VMEM((P_TILE, W), jnp.int32),            # E
+            pltpu.VMEM((P_TILE, W + STAGE), jnp.int32),    # target window
+            pltpu.VMEM((P_TILE, QW), jnp.int32),           # query window
+            pltpu.VMEM((P_TILE, 1), jnp.int32),            # lo_prev
+        ],
         interpret=interpret,
     )(ql, tl, queries, targets)
     return score[:P_orig, 0], jend[:P_orig, 0], mvp[:P_orig]

@@ -133,19 +133,24 @@ def _pallas_align_on() -> bool:
 
 def _align_trace_impl(Q, T, ql, tl, *, band, match, mismatch, gap_open,
                       gap_ext):
-    """On accelerators: Pallas forward (p_tile=32 — every op covers four
-    native (8, 128) tiles; bit-identical to the XLA scan and 15-40%
-    faster at the shipped batch shapes, tools/kernel_bench.py) + the
+    """On accelerators: Pallas forward (bit-identical to the XLA scan;
+    1.4-1.9x at the shipped batch shapes, tools/kernel_bench.py) + the
     word-cached walk, whose ops come out 2-bit packed with gaps
     (kernels/banded.walk_ops_cached).  The XLA scan + plain walk remains
-    the CPU/test/mesh path, and covers rows > 4096 where the Pallas
-    (P_TILE, nq/8, W) move-word out block exceeds the 16 MB scoped VMEM
-    limit under double buffering.  Returns (result, ops_packed)."""
-    if _pallas_align_on() and Q.shape[1] <= 4096:
+    the CPU/test/mesh path.  The row-chunked forward grid keeps the
+    move-word out block VMEM-resident at (p_tile, 64, W) regardless of
+    nq, so every bucket of the ladder (incl. 6144+, where the old
+    monolithic block OOMed scoped VMEM) takes the Pallas path.
+    Returns (result, ops_packed)."""
+    if _pallas_align_on():
         from ..kernels.pallas_banded import banded_align_trace_pallas_cached
+        # p_tile=32 measured best end-to-end (interleaved A/B: 240-255
+        # vs 212 reads/s at p_tile=64 — the isolated microbench prefers
+        # 64, but the larger VMEM footprint loses under pipeline load)
+        pt = int(os.environ.get("C3POA_ALIGN_PTILE", "32"))
         return banded_align_trace_pallas_cached(
             Q, T, ql, tl, band=band, match=match, mismatch=mismatch,
-            gap_open=gap_open, gap_ext=gap_ext, p_tile=32), True
+            gap_open=gap_open, gap_ext=gap_ext, p_tile=pt), True
     return banded_align_trace_batch(
         Q, T, ql, tl, band=band, match=match, mismatch=mismatch,
         gap_open=gap_open, gap_ext=gap_ext), False

@@ -66,11 +66,14 @@ def bench_profile(shapes=((64, 8192), (512, 8192), (512, 32768))):
 
 
 def bench_align(shapes=((512, 2048, 128), (2048, 2048, 128))):
+    """XLA scan vs the SHIPPED Pallas config (p_tile=32, packed move
+    words — tpu_backend._align_trace_impl); full-length and ragged
+    (length-sorted ql in [nq/3, nq], the pipeline's packing shape)."""
     import jax
     import jax.numpy as jnp
 
     from c3poa_tpu.kernels.banded import banded_align_batch
-    from c3poa_tpu.kernels.pallas_banded import banded_fwd_pallas
+    from c3poa_tpu.kernels.pallas_banded import banded_fwd_pallas_packed
 
     rng = np.random.default_rng(1)
 
@@ -79,21 +82,24 @@ def bench_align(shapes=((512, 2048, 128), (2048, 2048, 128))):
         return s, j, jnp.max(mv)  # moves stay on device
 
     def pal_fn(q, t, ql, tl):
-        s, j, mv = banded_fwd_pallas(q, t, ql, tl, band=W_CUR)
+        s, j, mv = banded_fwd_pallas_packed(q, t, ql, tl, band=W_CUR,
+                                            p_tile=32)
         return s, j, jnp.max(mv)
 
     for P, nq, W in shapes:
         global W_CUR
         W_CUR = W
         nt = nq
-        cells = P * nq * W
 
-        def mk():
+        def mk(ragged=False):
             q = rng.integers(0, 4, size=(P, nq)).astype(np.int8)
             t = q.copy()
-            ql = np.full(P, nq, dtype=np.int32)
-            tl = np.full(P, nt, dtype=np.int32)
-            return q, t, ql, tl
+            if ragged:
+                ql = np.sort(rng.integers(nq // 3, nq + 1, P)
+                             .astype(np.int32))[::-1].copy()
+            else:
+                ql = np.full(P, nq, dtype=np.int32)
+            return q, t, ql, ql.copy()
 
         xj = jax.jit(xla_fn)
         pj = jax.jit(pal_fn)
@@ -101,12 +107,15 @@ def bench_align(shapes=((512, 2048, 128), (2048, 2048, 128))):
         sx = [np.asarray(v) for v in xj(*a)]
         sp = [np.asarray(v) for v in pj(*a)]
         assert np.array_equal(sx[0], sp[0]), "score mismatch"
-        t_x = _time(xj, mk)
-        t_p = _time(pj, mk)
-        print(f"align P={P} nq={nq} W={W}: "
-              f"xla {t_x * 1e3:7.1f} ms ({cells / t_x / 1e9:6.2f} G cells/s)  "
-              f"pallas {t_p * 1e3:7.1f} ms ({cells / t_p / 1e9:6.2f} G c/s)  "
-              f"speedup {t_x / t_p:4.1f}x", flush=True)
+        for tag, ragged in (("full", False), ("ragged", True)):
+            cells = int(mk(ragged)[2].astype(np.int64).sum()) * W
+            t_x = _time(xj, lambda: mk(ragged))
+            t_p = _time(pj, lambda: mk(ragged))
+            print(f"align P={P} nq={nq} W={W} {tag}: "
+                  f"xla {t_x * 1e3:7.1f} ms ({cells / t_x / 1e9:6.2f}"
+                  f" G real c/s)  pallas {t_p * 1e3:7.1f} ms "
+                  f"({cells / t_p / 1e9:6.2f} G c/s)  "
+                  f"speedup {t_x / t_p:4.1f}x", flush=True)
 
 
 if __name__ == "__main__":
