@@ -99,9 +99,10 @@ def cpu_proxy_baseline(d: str) -> dict:
 
 
 def main():
-    # 1024 reads in two 512-read groups: group 2's locate overlaps group
-    # 1's consensus (the pipeline's steady-state shape on real runs)
-    n_reads = int(os.environ.get("BENCH_READS", "1024"))
+    # 2048 reads in four 512-read groups: the 3-stage pipeline (locate
+    # g+2 / align g+1 / finalize g) reaches steady state from group 3,
+    # the shape long production runs spend all their time in
+    n_reads = int(os.environ.get("BENCH_READS", "2048"))
 
     with tempfile.TemporaryDirectory() as d:
         from c3poa_tpu.pipeline.backend import NumpyBackend

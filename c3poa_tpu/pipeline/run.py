@@ -288,12 +288,16 @@ def run_pipeline(reads_path: str, splint_path: str, out_path: str,
         progress.update(len(group))
         checkpoint(gi)
 
-    # deep pipelining: the worker thread runs group g+1's WHOLE device
-    # side (locate + segment + round-1 align + record building) while
-    # this thread votes/writes group g.  Needs the single-round engine
-    # (a second round would align from the finalize side and race the
-    # worker's record arenas).
+    # deep pipelining: a locate thread runs group g+2's locate while an
+    # align thread runs group g+1's segment + round-1 align + record
+    # building and this thread votes/writes group g — three stages in
+    # flight, so the device queue stays fed through the host-side
+    # phases.  Needs the single-round engine (a second round would align
+    # from the finalize side and race the align thread's record arenas);
+    # finalize(g) always completes before prep(g+2) starts, so the two
+    # record-arena generations (slot = gi % 2) never collide.
     deep = overlap and cfg.cons.rounds == 1
+    loc_executor = ThreadPoolExecutor(max_workers=1) if deep else None
 
     try:
         # short-read counting re-streams from the file start, so it is
@@ -303,6 +307,30 @@ def run_pipeline(reads_path: str, splint_path: str, out_path: str,
             _run_groups_mp(reads_path, combos, cfg, writers, stats,
                            filter_stats, skip_groups, mine, checkpoint,
                            profiler, progress)
+        elif deep:
+            from collections import deque
+            gi = 0
+            prepped: deque = deque()  # (gi, prep future), depth <= 2
+            for group in _read_groups(reads_path, cfg.lencutoff,
+                                      cfg.group_size, filter_stats):
+                gi += 1
+                if gi <= skip_groups or not mine(gi):
+                    continue
+                fut_loc = loc_executor.submit(_locate_group, group, combos,
+                                              cfg, backend)
+                if len(prepped) == 2:
+                    # finalize g BEFORE queueing prep(g+2): frees record
+                    # arena slot gi % 2 for the next generation
+                    pgi, pfut = prepped.popleft()
+                    finish_prep(pgi, pfut.result())
+                fut = executor.submit(
+                    lambda g=group, s=gi % 2, fl=fut_loc:
+                        _prepare_group(g, combos, cfg, backend,
+                                       fl.result(), s))
+                prepped.append((gi, fut))
+            while prepped:
+                pgi, pfut = prepped.popleft()
+                finish_prep(pgi, pfut.result())
         else:
             gi = 0
             pending = None  # (gi, group, future)
@@ -312,33 +340,25 @@ def run_pipeline(reads_path: str, splint_path: str, out_path: str,
                 if gi <= skip_groups or not mine(gi):
                     continue
                 if executor is not None:
-                    # group g+1's device side runs on a worker thread
-                    # while group g's host side runs on this one
-                    if deep:
-                        fut = executor.submit(_prepare_group, group, combos,
-                                              cfg, backend, None, gi % 2)
-                    else:
-                        fut = executor.submit(_locate_group, group, combos,
-                                              cfg, backend)
+                    # group g+1's locate runs on a worker thread while
+                    # group g's consensus runs on this one
+                    fut = executor.submit(_locate_group, group, combos,
+                                          cfg, backend)
                     if pending is not None:
                         pgi, pgroup, pfut = pending
-                        if deep:
-                            finish_prep(pgi, pfut.result())
-                        else:
-                            finish(pgi, pgroup, pfut.result())
+                        finish(pgi, pgroup, pfut.result())
                     pending = (gi, group, fut)
                 else:
                     finish(gi, group, None)
             if pending is not None:
                 pgi, pgroup, pfut = pending
-                if deep:
-                    finish_prep(pgi, pfut.result())
-                else:
-                    finish(pgi, pgroup, pfut.result())
+                finish(pgi, pgroup, pfut.result())
         stats.short_reads = filter_stats.short_reads
     finally:
         if executor is not None:
             executor.shutdown(wait=True)
+        if loc_executor is not None:
+            loc_executor.shutdown(wait=True)
         progress.close()
         writers.close()
 
