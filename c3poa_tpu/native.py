@@ -124,6 +124,13 @@ def get_lib():
     except AttributeError:  # stale .so without the overlap symbol
         pass
     try:
+        lib.c3_sliding_min_dist_multi.restype = None
+        lib.c3_sliding_min_dist_multi.argtypes = [
+            u8p, i64, u8p, i64p, i32, i32p,
+        ]
+    except AttributeError:  # stale .so without the demux symbol
+        pass
+    try:
         lib.c3_dp_score.restype = i64
         lib.c3_dp_score.argtypes = [
             i8p, i64, i8p, i64, i64, i64, i64, i64, i64,
@@ -377,6 +384,35 @@ def find_overlap_c(target: np.ndarray, query: np.ndarray, k: int = 15,
     if r <= 0:
         return "unavailable" if r < 0 else None
     return int(out4[0]), int(out4[1]), int(out4[2]), int(out4[3])
+
+
+_SLIDE_CACHE: dict = {}
+
+
+def sliding_min_dists_c(seq: str, idx_seqs: tuple) -> "np.ndarray | None":
+    """C fast path: min sliding Levenshtein of every index against seq
+    (exact ref/lev.py semantics).  Returns (n_idx,) int32 distances, or
+    None when the library/symbol is unavailable or an index exceeds the
+    C DP width (the caller runs the Python path).
+    """
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "c3_sliding_min_dist_multi"):
+        return None
+    key = idx_seqs
+    cached = _SLIDE_CACHE.get(key)
+    if cached is None:
+        blob = np.frombuffer("".join(idx_seqs).encode(), dtype=np.uint8)
+        off = np.zeros(len(idx_seqs) + 1, dtype=np.int64)
+        np.cumsum([len(s) for s in idx_seqs], out=off[1:])
+        cached = _SLIDE_CACHE[key] = (np.ascontiguousarray(blob), off)
+    blob, off = cached
+    s = np.frombuffer(seq.encode(), dtype=np.uint8)
+    out = np.empty(len(idx_seqs), dtype=np.int32)
+    lib.c3_sliding_min_dist_multi(np.ascontiguousarray(s), len(s),
+                                  blob, off, len(idx_seqs), out)
+    if (out < 0).any():  # an index wider than the C DP row
+        return None
+    return out
 
 
 # ---------------- fastx ----------------

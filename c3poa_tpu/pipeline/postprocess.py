@@ -65,13 +65,20 @@ class AdapterHit(NamedTuple):
 
 def match_index(seq: str, seq_to_idx: dict) -> str:
     """Exact port of reference match_index (C3POa_postprocessing.py:266-285).
-    seq_to_idx: {index_seq: index_name} in index-file order."""
-    dist_list = []
-    for idx_seq, idx in seq_to_idx.items():
-        dist_list.append((idx, sliding_min_distance(seq, idx_seq)))
-    dist_list = sorted(dist_list, key=lambda x: x[1])
-    if not dist_list:
+    seq_to_idx: {index_seq: index_name} in index-file order.  A C fast
+    path (native/overlap.c) computes all sliding distances in one call
+    (~50x; the per-index numpy DP dominated postprocess demux)."""
+    if not seq_to_idx:
         return "-"
+    from .. import native
+    dists = native.sliding_min_dists_c(seq, tuple(seq_to_idx.keys()))
+    if dists is not None:
+        names = list(seq_to_idx.values())
+        dist_list = sorted(zip(names, dists.tolist()), key=lambda x: x[1])
+    else:
+        dist_list = sorted(
+            ((idx, sliding_min_distance(seq, idx_seq))
+             for idx_seq, idx in seq_to_idx.items()), key=lambda x: x[1])
     second = dist_list[1][1] if len(dist_list) > 1 else np.inf
     if dist_list[0][1] < 2 and second - dist_list[0][1] > 1:
         return dist_list[0][0]

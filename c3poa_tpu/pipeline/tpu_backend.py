@@ -327,11 +327,21 @@ class TpuBackend:
         outs = [np.zeros((B, C), dtype=np.int64) for _ in range(6)]
         by_bucket: dict[int, list[int]] = {}
         overlong: list[int] = []
+
+        def _adapter_bucket(n: int) -> int:
+            # postprocess inputs are consensi (~0.5-3 kb), far below the
+            # locate ladder's 8192 floor — denser power-of-two buckets
+            # cut the adapter scan's padded columns ~4x
+            for b in (1024, 2048, 4096):
+                if n <= b:
+                    return b
+            return _bucket_len(n)
+
         for i, codes in enumerate(reads):
             if len(codes) > LEN_BUCKETS[-1]:
                 overlong.append(i)  # exact host path, as in locate_many
                 continue
-            by_bucket.setdefault(_bucket_len(len(codes)), []).append(i)
+            by_bucket.setdefault(_adapter_bucket(len(codes)), []).append(i)
         if overlong:
             host_res = NumpyBackend().adapter_hits(
                 [reads[i] for i in overlong], combo_codes, combo_lens)

@@ -47,6 +47,48 @@ static inline uint64_t mix64(uint64_t x) {
     return x ^ (x >> 31);
 }
 
+/* Sliding-window Levenshtein for oligo-dT index demux (the reference's
+ * editdistance role, C3POa_postprocessing.py:269-278): for each index
+ * i, out[i] = min over window offsets p of the unit-cost edit distance
+ * between seq[p : p + len_i] and index i (len_i = its full length), or
+ * len_i when no full window fits.  One call covers every index of a
+ * junction window — the per-call numpy version cost ~0.2 ms x 95k calls
+ * on a 4k-read postprocess run.  Bytes compare raw (ASCII), matching
+ * ref/lev.py. */
+void c3_sliding_min_dist_multi(const uint8_t *seq, int64_t n,
+                               const uint8_t *idx_blob,
+                               const int64_t *idx_off, int32_t n_idx,
+                               int32_t *out) {
+    int32_t dp[2][64];
+    for (int32_t x = 0; x < n_idx; x++) {
+        const uint8_t *idx = idx_blob + idx_off[x];
+        int64_t m = idx_off[x + 1] - idx_off[x];
+        if (m > 63) { out[x] = -1; continue; }  /* caller falls back */
+        if (n < m) { out[x] = (int32_t)m; continue; }
+        int32_t best = (int32_t)m;
+        for (int64_t p = 0; p + m <= n && best > 0; p++) {
+            const uint8_t *w = seq + p;
+            int32_t *prev = dp[0], *cur = dp[1];
+            for (int64_t j = 0; j <= m; j++) prev[j] = (int32_t)j;
+            for (int64_t i = 1; i <= m; i++) {
+                cur[0] = (int32_t)i;
+                uint8_t ic = idx[i - 1];
+                for (int64_t j = 1; j <= m; j++) {
+                    int32_t d = prev[j - 1] + (w[j - 1] != ic);
+                    int32_t u = prev[j] + 1;
+                    int32_t l = cur[j - 1] + 1;
+                    if (u < d) d = u;
+                    if (l < d) d = l;
+                    cur[j] = d;
+                }
+                int32_t *t = prev; prev = cur; cur = t;
+            }
+            if (prev[m] < best) best = prev[m];
+        }
+        out[x] = best;
+    }
+}
+
 /* Best-diagonal overlap of query onto target.
  * out4 = {r_st, r_en, q_st, q_en}; returns 1 if found, 0 if none,
  * -1 on allocation failure (caller falls back to the Python path). */

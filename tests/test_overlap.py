@@ -82,3 +82,30 @@ def test_parity_parameter_sweep():
         for band in (32, 64, 128):
             for mm in (1, 3, 8):
                 _check(t, q, k=k, band=band, min_matches=mm)
+
+
+def test_sliding_min_dists_c_parity():
+    """C sliding-Levenshtein demux distances == the Python path on random
+    junction windows, short windows (n < m), and exact/near matches."""
+    from c3poa_tpu.ref.lev import sliding_min_distance
+    if native.sliding_min_dists_c("ACGT", ("AC",)) is None:
+        pytest.skip("native demux symbol not built")
+    rng = np.random.default_rng(7)
+    bases = np.array(list("ACGT"))
+    idxs = tuple("".join(rng.choice(bases, int(rng.integers(8, 17))))
+                 for _ in range(12))
+    for trial in range(300):
+        n = int(rng.integers(1, 30))
+        seq = "".join(rng.choice(bases, n))
+        if trial % 3 == 0 and n >= 16:
+            # plant a mutated index so best<2 margins get exercised
+            idx = idxs[trial % len(idxs)]
+            pos = int(rng.integers(0, n - len(idx))) if n > len(idx) else 0
+            s = list(seq)
+            s[pos:pos + len(idx)] = list(idx)
+            if rng.random() < 0.5 and len(idx) > 2:
+                s[pos + 1] = "ACGT"[int(rng.integers(0, 4))]
+            seq = "".join(s)[:n]
+        got = native.sliding_min_dists_c(seq, idxs)
+        want = [sliding_min_distance(seq, i) for i in idxs]
+        assert got.tolist() == want, (seq, got.tolist(), want)
