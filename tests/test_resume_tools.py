@@ -144,3 +144,55 @@ def test_progress_reporting(tmp_path, capfd, monkeypatch):
                  PipelineConfig(lencutoff=500, group_size=2))
     err = capfd.readouterr().err
     assert "[c3poa]" in err and "reads/s" in err
+
+
+def test_resume_deep_pipeline_backend(tmp_path):
+    """Resume must also be byte-exact under the 3-stage deep pipeline
+    (TpuBackend): skipped groups never enter the locate/prep queues and
+    checkpoints are written strictly in group order."""
+    from c3poa_tpu.pipeline.tpu_backend import TpuBackend
+
+    make_inputs(tmp_path)
+    cfg = PipelineConfig(group_size=3)
+    full = str(tmp_path / "tfull")
+    run_pipeline(str(tmp_path / "reads.fastq"),
+                 str(tmp_path / "splint.fasta"), full, cfg, TpuBackend())
+
+    small = str(tmp_path / "tsmall")
+    first3 = list(read_fastx(str(tmp_path / "reads.fastq")))[:3]
+    with open(tmp_path / "tfirst3.fastq", "w") as fh:
+        for r in first3:
+            fh.write(f"@{r.name}\n{r.seq}\n+\n{r.qual}\n")
+    run_pipeline(str(tmp_path / "tfirst3.fastq"),
+                 str(tmp_path / "splint.fasta"), small,
+                 PipelineConfig(group_size=3), TpuBackend())
+    man_small = {
+        "key": cfg.resume_key(str(tmp_path / "reads.fastq"),
+                              str(tmp_path / "splint.fasta")),
+        "groups_done": 1,
+        "files": {
+            "Splint1/R2C2_Consensus.fasta": os.path.getsize(
+                os.path.join(small, "Splint1", "R2C2_Consensus.fasta")),
+            "Splint1/R2C2_Subreads.fastq": os.path.getsize(
+                os.path.join(small, "Splint1", "R2C2_Subreads.fastq")),
+        },
+        "stats": {"total_reads": 3, "short_reads": 0, "no_splint": 0,
+                  "consensus_written": sum(
+                      1 for _ in read_fastx(os.path.join(
+                          small, "Splint1", "R2C2_Consensus.fasta")))},
+    }
+    resumed = str(tmp_path / "tresumed")
+    os.makedirs(os.path.join(resumed, "Splint1"), exist_ok=True)
+    import shutil
+    for f in ("R2C2_Consensus.fasta", "R2C2_Subreads.fastq"):
+        shutil.copy(os.path.join(small, "Splint1", f),
+                    os.path.join(resumed, "Splint1", f))
+    json.dump(man_small, open(os.path.join(resumed, MANIFEST), "w"))
+
+    run_pipeline(str(tmp_path / "reads.fastq"),
+                 str(tmp_path / "splint.fasta"), resumed,
+                 PipelineConfig(group_size=3, resume=True), TpuBackend())
+    for f in ("R2C2_Consensus.fasta", "R2C2_Subreads.fastq"):
+        a = open(os.path.join(full, "Splint1", f)).read()
+        b = open(os.path.join(resumed, "Splint1", f)).read()
+        assert a == b, f"{f} differs after deep-pipeline resume"
