@@ -466,57 +466,60 @@ class TpuBackend:
         from concurrent.futures import ThreadPoolExecutor
 
         from ..utils import prof
-        work = []
+        leftovers = []           # python-fallback work items
         rewalk: list[int] = []   # truncated walks (pathological paths)
-        with prof.current.stage("align_wait"):
-            for chunk, (scores, j_ends, _j_starts, i_rem, ops), packed \
-                    in launches:
+        # materialize + build records PER LAUNCH: the GIL-released C
+        # record build of launch k overlaps the device computing launch
+        # k+1 (launches were all dispatched above), so record time hides
+        # inside device time instead of extending the align stage
+        for li, (chunk, res, packed) in enumerate(launches):
+            scores, j_ends, _j_starts, i_rem, ops = res
+            with prof.current.stage("align_wait"):
                 scores = np.asarray(scores)
                 j_ends = np.asarray(j_ends)
                 i_rem = np.asarray(i_rem)
-                ops = np.asarray(ops)  # (P, nq+W+64) uint8 — small transfer
-                for r, i in enumerate(chunk):
-                    if i_rem[r] > 0:
-                        rewalk.append(i)
-                        continue
-                    q, qual, t = pairs[i]
-                    work.append((i, q, qual, t, ops[r], int(j_ends[r]),
-                                 int(scores[r]), packed))
-        with prof.current.stage("align_host_records"):
-            done = False
-            if work and native.available():
-                # one GIL-released C call per ops encoding builds +
-                # normalizes every record of the group (per-record Python
-                # round trips dominated).  ops widths differ per bucket;
-                # zero-pad (op 0 = end)
-                done = True
-                for packed in (True, False):
-                    ws = [w for w in work if w[7] == packed]
-                    if not ws:
-                        continue
-                    L = max(len(w[4]) for w in ws)
-                    opsmat = np.zeros((len(ws), L), dtype=np.uint8)
-                    for k, w in enumerate(ws):
+                ops = np.asarray(ops)  # (P, ~nq/5) uint8 — small transfer
+            work = []
+            for r, i in enumerate(chunk):
+                if i_rem[r] > 0:
+                    rewalk.append(i)
+                    continue
+                q, qual, t = pairs[i]
+                work.append((i, q, qual, t, ops[r], int(j_ends[r]),
+                             int(scores[r]), packed))
+            if not work:
+                continue
+            with prof.current.stage("align_host_records"):
+                recs = None
+                if native.available():
+                    # one GIL-released C call per launch builds +
+                    # normalizes its records; ``phase`` gives each
+                    # launch its own arena generation so all of a
+                    # group's records stay alive together
+                    L = max(len(w[4]) for w in work)
+                    opsmat = np.zeros((len(work), L), dtype=np.uint8)
+                    for k, w in enumerate(work):
                         opsmat[k, :len(w[4])] = w[4]
                     recs = native.ops_records_batch(
-                        [w[1] for w in ws], [w[3] for w in ws],
-                        opsmat, [w[5] for w in ws], packed=packed,
-                        phase=int(packed))
-                    if recs is None:
-                        done = False
-                        break
+                        [w[1] for w in work], [w[3] for w in work],
+                        opsmat, [w[5] for w in work], packed=packed,
+                        phase=li)
+                if recs is not None:
                     for (i, q, qual, t, _o, _j, score, _p), rec in \
-                            zip(ws, recs):
+                            zip(work, recs):
                         out[i] = SubreadAln(
                             rec._replace(score=score),
                             np.asarray(q, dtype=np.int8),
                             np.asarray(qual, dtype=np.int8))
-            if not done:
-                if len(work) > 64 and native.available():
-                    with ThreadPoolExecutor(max_workers=4) as ex:
-                        list(ex.map(build_record, work))
                 else:
-                    for w in work:
+                    leftovers.extend(work)
+        if leftovers:
+            with prof.current.stage("align_host_records"):
+                if len(leftovers) > 64 and native.available():
+                    with ThreadPoolExecutor(max_workers=4) as ex:
+                        list(ex.map(build_record, leftovers))
+                else:
+                    for w in leftovers:
                         build_record(w)
         if rewalk:
             # pathological paths or cached-walk budget misses: host realign.
