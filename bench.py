@@ -123,14 +123,15 @@ def main():
         make_dataset(d, n_reads)
         gs = min(512, max(1, n_reads // 2))
         run_once(d, os.path.join(d, "warm"), backend, group_size=gs)
-        # best of two measured passes: the relayed runtime has 20-30%
-        # run-to-run variance
+        # best of three measured passes: the relayed runtime has 20-30%
+        # run-to-run variance on identical code
         stats, dt = run_once(d, os.path.join(d, "out"), backend,
                              group_size=gs)
-        stats2, dt2 = run_once(d, os.path.join(d, "out2"), backend,
-                               group_size=gs)
-        if dt2 < dt:
-            stats, dt = stats2, dt2
+        for rep in (2, 3):
+            stats2, dt2 = run_once(d, os.path.join(d, f"out{rep}"),
+                                   backend, group_size=gs)
+            if dt2 < dt:
+                stats, dt = stats2, dt2
         reads_s = stats.total_reads / dt
 
         baseline_32t = base["baseline_32t"]
