@@ -64,3 +64,38 @@ def test_backend_parity_pipelined_groups(dataset):
         a = open(os.path.join(out_np, "Splint1", fname)).read()
         b = open(os.path.join(out_tpu, "Splint1", fname)).read()
         assert a == b, f"{fname} differs between backends (pipelined)"
+
+
+def test_overlong_read_host_fallback():
+    """Reads past the last locate bucket (131072) take the exact host
+    path with no truncation: identical LocateResult to NumpyBackend,
+    counted in overlong_reads_host_located (PARITY.md §10)."""
+    from c3poa_tpu.pipeline.backend import Combo
+    from c3poa_tpu.utils import prof
+    from c3poa_tpu.utils.seqs import encode, revcomp_encoded
+
+    rng = np.random.default_rng(5)
+    splint = "".join(np.array(list("ACGT"))[rng.integers(0, 4, 48)])
+    codes = encode(splint)
+    combos = [Combo("S", "+", codes, len(codes)),
+              Combo("S", "-", revcomp_encoded(codes), len(codes))]
+    # one overlong read (135k) with two planted splints + one normal read
+    long_read = rng.integers(0, 4, 135000).astype(np.int8)
+    for pos in (40000, 90000):
+        long_read[pos:pos + len(codes)] = codes
+    short_read = rng.integers(0, 4, 4000).astype(np.int8)
+    short_read[1800:1800 + len(codes)] = codes
+    reads = [long_read, short_read]
+
+    profiler = prof.reset()
+    got = TpuBackend().locate_many(reads, combos, 500)
+    want = NumpyBackend().locate_many(reads, combos, 500)
+    assert profiler.counts.get("overlong_reads_host_located") == 1
+    for g, w in zip(got, want):
+        assert g.combo == w.combo and g.score == w.score
+        np.testing.assert_array_equal(g.peaks, w.peaks)
+    # the planted splints in the overlong read are found, including the
+    # one past any truncation a 131072 cap would have caused
+    for pos in (40000, 90000):
+        assert np.any(np.abs(got[0].peaks - pos) <= len(codes)), \
+            (pos, got[0].peaks)
