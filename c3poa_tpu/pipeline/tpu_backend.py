@@ -121,6 +121,20 @@ def _bucket_dim(n: int, lo: int = 128) -> int:
         b *= 2
 
 
+def _shard_map(fn, mesh, in_specs, out_specs):
+    """jax.shard_map with the varying-manual-axes check off: the kernel
+    bodies initialize scan carries from literals, which the VMA checker
+    flags as unvarying vs the data-sharded outputs (a false positive for
+    these pure per-shard batch kernels)."""
+    import jax
+    try:
+        return jax.shard_map(fn, mesh=mesh, in_specs=in_specs,
+                             out_specs=out_specs, check_vma=False)
+    except TypeError:  # older jax spells it check_rep
+        return jax.shard_map(fn, mesh=mesh, in_specs=in_specs,
+                             out_specs=out_specs, check_rep=False)
+
+
 def _pallas_align_on() -> bool:
     """Accelerator align path selection, mirroring
     kernels/locate._profile_impl.  C3POA_ALIGN_PALLAS=0/1 overrides this
@@ -190,37 +204,45 @@ class TpuBackend:
         return -(-B // n) * n
 
     def _sharded_locate(self, tile: int):
-        """locate_device jitted with the batch dim sharded over the mesh
-        and the splint reference replicated (compiled once per tile)."""
+        """locate_device shard_mapped over the mesh's batch dim with the
+        splint reference replicated (compiled once per tile).  shard_map
+        (not jit-with-shardings) so each device runs the full kernel —
+        including the Pallas profile path on real TPU meshes, where a
+        pallas_call under plain pjit would not partition."""
         key = ("locate", tile)
         if key not in self._sharded_fns:
             import jax
-            from jax.sharding import NamedSharding, PartitionSpec as P
+            from jax.sharding import PartitionSpec as P
 
             from ..kernels.locate import locate_device
-            batch = NamedSharding(self.mesh, P("data"))
-            batch2 = NamedSharding(self.mesh, P("data", None))
-            repl = NamedSharding(self.mesh, P())
-            self._sharded_fns[key] = jax.jit(
+            fn = _shard_map(
                 lambda r, ln, s: locate_device(r, ln, s, tile=tile),
-                in_shardings=(batch2, batch, repl),
-                out_shardings=(batch, batch, batch2, batch2, batch))
+                self.mesh,
+                (P("data", None), P("data"), P(None, None)),
+                (P("data"), P("data"), P("data", None),
+                 P("data", None), P("data")))
+            self._sharded_fns[key] = jax.jit(fn)
         return self._sharded_fns[key]
 
     def _sharded_align(self, band, match, mismatch, gap_open, gap_ext):
+        """Banded align+walk shard_mapped over the batch dim: each device
+        runs _align_trace_impl, so real TPU meshes take the Pallas
+        forward exactly like the single-chip path."""
         key = ("align", band, match, mismatch, gap_open, gap_ext)
         if key not in self._sharded_fns:
             import jax
-            from jax.sharding import NamedSharding, PartitionSpec as P
+            from jax.sharding import PartitionSpec as P
 
-            batch = NamedSharding(self.mesh, P("data"))
-            batch2 = NamedSharding(self.mesh, P("data", None))
-            self._sharded_fns[key] = jax.jit(
-                lambda q, t, ql, tl: banded_align_trace_batch(
-                    q, t, ql, tl, band=band, match=match, mismatch=mismatch,
-                    gap_open=gap_open, gap_ext=gap_ext),
-                in_shardings=(batch2, batch2, batch, batch),
-                out_shardings=(batch, batch, batch, batch, batch2))
+            fn = _shard_map(
+                lambda q, t, ql, tl: _align_trace_impl(
+                    q, t, ql, tl, band=band, match=match,
+                    mismatch=mismatch, gap_open=gap_open,
+                    gap_ext=gap_ext)[0],
+                self.mesh,
+                (P("data", None), P("data", None), P("data"), P("data")),
+                (P("data"), P("data"), P("data"), P("data"),
+                 P("data", None)))
+            self._sharded_fns[key] = jax.jit(fn)
         return self._sharded_fns[key]
 
     # ---------------- locate ----------------
@@ -438,7 +460,8 @@ class TpuBackend:
                 res = self._sharded_align(
                     W, params.match, params.mismatch, params.gap_open,
                     params.gap_ext)(Q, T, ql, tl)
-                packed = False
+                # must mirror _align_trace_impl's choice inside shard_map
+                packed = _pallas_align_on()
             else:
                 res, packed = _align_trace_impl(
                     Q, T, ql, tl, band=W, match=params.match,
