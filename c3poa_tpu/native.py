@@ -92,6 +92,13 @@ def get_lib():
         i32, i32, i8p, i8p, i32p, i32p, i32p, i32p,
         i8p, i8p, i64p, i32, i8p, i8p, i32,
     ]
+    try:
+        lib.c3_format_fastx.restype = i64
+        lib.c3_format_fastx.argtypes = [
+            i32, u8p, i64p, i8p, i64p, i8p, i32, u8p, i64,
+        ]
+    except AttributeError:  # stale .so without the formatter symbol
+        pass
     lib.c3_parse_fastq.restype = i64
     lib.c3_parse_fastq.argtypes = [u8p, i64, i8p, i8p, i64, i64p, i64p, i64]
     lib.c3_parse_fasta.restype = i64
@@ -416,6 +423,38 @@ def sliding_min_dists_c(seq: str, idx_seqs: tuple) -> "np.ndarray | None":
 
 
 # ---------------- fastx ----------------
+
+def format_fastx(names: list, seqs: list, quals=None) -> "str | None":
+    """One GIL-released C call formats a whole group of records:
+    FASTA when ``quals`` is None (">name\\nSEQ\\n"), FASTQ otherwise
+    ("@name\\nSEQ\\n+\\nQUAL\\n", phred+33 clipped to 93).  Returns the
+    ascii text, or None when the library lacks the symbol."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "c3_format_fastx") or not names:
+        return None if names else ""
+    n = len(names)
+    name_blob = np.frombuffer("".join(names).encode("ascii"), dtype=np.uint8)
+    name_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum([len(x) for x in names], out=name_off[1:])
+    seq_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum([len(s) for s in seqs], out=seq_off[1:])
+    codes = np.ascontiguousarray(
+        np.concatenate(seqs) if n else np.zeros(0), dtype=np.int8)
+    mode = 0 if quals is None else 1
+    if mode:
+        qual_blob = np.ascontiguousarray(np.concatenate(quals),
+                                         dtype=np.int8)
+    else:
+        qual_blob = np.zeros(0, dtype=np.int8)
+    total_seq = int(seq_off[-1])
+    cap = int(name_off[-1]) + n * 6 + total_seq * (2 if mode else 1) + 16
+    out = np.empty(cap, dtype=np.uint8)
+    w = lib.c3_format_fastx(mode, np.ascontiguousarray(name_blob), name_off,
+                            codes, seq_off, qual_blob, n, out, cap)
+    if w < 0:
+        return None
+    return out[:w].tobytes().decode("ascii")
+
 
 def parse_fastq_bytes(data: bytes):
     """Parse a FASTQ buffer -> (names list[str], seq_arena int8,

@@ -519,22 +519,73 @@ def _finalize_group(prep: dict, cfg: PipelineConfig, writers,
         seg = None
         emitted.append((ri, splint, 0, cons, seg, job))
 
-    # write in input order
+    # write in input order; record text is built by one GIL-released C
+    # call per splint/file (native.format_fastx) — per-record f-strings
+    # held the GIL ~0.5 s/group under pipeline contention
     emitted.sort(key=lambda e: e[0])
     _t_wr = prof.current.stage("write")
     _t_wr.__enter__()
+    from .. import native
+    use_c = native.available() and hasattr(native.get_lib(),
+                                           "c3_format_fastx")
+    by_splint: dict = {}  # splint -> (cons_n, cons_s, sub_n, sub_s, sub_q)
     for ri, splint, repeats, cons, seg, job in emitted:
         rec = group[ri]
-        cons_fh, sub_fh = writers.get(splint)
-        _write_subreads(sub_fh, rec.name, job, repeats, zero=(seg is None))
+        if use_c:
+            cn, cs, sn, ss, sq = by_splint.setdefault(
+                splint, ([], [], [], [], []))
+            _collect_subreads(sn, ss, sq, rec.name, job, repeats,
+                              zero=(seg is None))
+        else:
+            cons_fh, sub_fh = writers.get(splint)
+            _write_subreads(sub_fh, rec.name, job, repeats,
+                            zero=(seg is None))
         if len(cons) == 0:
             continue
         qarr = quals[ri]
         avg_qual = round(float(np.sum(qarr.astype(np.int64))) / len(qarr), 2)
         header = f"{rec.name}_{avg_qual}_{len(rec.seq)}_{repeats}_{len(cons)}"
-        cons_fh.write(f">{header}\n{decode(cons)}\n")
+        if use_c:
+            cn.append(header)
+            cs.append(cons)
+        else:
+            cons_fh.write(f">{header}\n{decode(cons)}\n")
         stats.consensus_written += 1
+    if use_c:
+        for splint, (cn, cs, sn, ss, sq) in by_splint.items():
+            cons_fh, sub_fh = writers.get(splint)
+            subs_txt = native.format_fastx(sn, ss, sq)
+            cons_txt = native.format_fastx(cn, cs)
+            if subs_txt is None or cons_txt is None:  # cap race: fallback
+                for name, codes, q in zip(sn, ss, sq):
+                    sub_fh.write(
+                        f"@{name}\n{decode(codes)}\n+\n{_format_qual(q)}\n")
+                for name, codes in zip(cn, cs):
+                    cons_fh.write(f">{name}\n{decode(codes)}\n")
+            else:
+                sub_fh.write(subs_txt)
+                cons_fh.write(cons_txt)
     _t_wr.__exit__(None, None, None)
+
+
+def _collect_subreads(names: list, seqs: list, quals: list, name: str,
+                      job: ConsensusJob, repeats: int, zero: bool) -> None:
+    """Same record order/naming as _write_subreads, collected for the
+    batched C formatter."""
+    if zero:
+        for i, (codes, q) in enumerate(zip(job.dangling, job.dangling_quals)):
+            names.append(f"{name}_{i}")
+            seqs.append(codes)
+            quals.append(q)
+        return
+    for i, (codes, q) in enumerate(zip(job.subreads, job.sub_quals)):
+        names.append(f"{name}_{i + 1}")
+        seqs.append(codes)
+        quals.append(q)
+    for j, (codes, q) in enumerate(zip(job.dangling, job.dangling_quals)):
+        names.append(f"{name}_{0 if j == 0 else repeats + 1}")
+        seqs.append(codes)
+        quals.append(q)
 
 
 def _write_subreads(fh, name: str, job: ConsensusJob, repeats: int,

@@ -140,3 +140,49 @@ void c3_decode(const int8_t *codes, int64_t n, uint8_t *out) {
         out[i] = DEC[(c >= 0 && c < 5) ? c : 4];
     }
 }
+
+/* Format a whole group of records as FASTA/FASTQ ascii in one
+ * GIL-released call (the per-record Python f-string building held the
+ * GIL for ~0.5 s/group under pipeline contention).  mode 0 = FASTA
+ * (">name\nSEQ\n"), 1 = FASTQ ("@name\nSEQ\n+\nQUAL\n"); quals are
+ * phred ints clipped to [0, 93] and emitted as chr(q + 33).  Returns
+ * bytes written, or -1 if cap is too small. */
+int64_t c3_format_fastx(int32_t mode,
+                        const uint8_t *names, const int64_t *name_off,
+                        const int8_t *codes, const int64_t *seq_off,
+                        const int8_t *quals,
+                        int32_t n, uint8_t *out, int64_t cap) {
+    static const uint8_t DEC[5] = {'A', 'C', 'G', 'T', 'N'};
+    int64_t w = 0;
+    for (int32_t r = 0; r < n; r++) {
+        int64_t nl = name_off[r + 1] - name_off[r];
+        int64_t sl = seq_off[r + 1] - seq_off[r];
+        int64_t need = 1 + nl + 1 + sl + 1 + (mode ? 2 + sl + 1 : 0);
+        if (w + need > cap) return -1;
+        out[w++] = mode ? '@' : '>';
+        memcpy(out + w, names + name_off[r], (size_t)nl);
+        w += nl;
+        out[w++] = '\n';
+        const int8_t *s = codes + seq_off[r];
+        for (int64_t i = 0; i < sl; i++) {
+            int8_t c = s[i];
+            out[w + i] = DEC[(c >= 0 && c < 5) ? c : 4];
+        }
+        w += sl;
+        out[w++] = '\n';
+        if (mode) {
+            out[w++] = '+';
+            out[w++] = '\n';
+            const int8_t *q = quals + seq_off[r];
+            for (int64_t i = 0; i < sl; i++) {
+                int32_t v = q[i];
+                if (v < 0) v = 0;
+                if (v > 93) v = 93;
+                out[w + i] = (uint8_t)(v + 33);
+            }
+            w += sl;
+            out[w++] = '\n';
+        }
+    }
+    return w;
+}
