@@ -244,8 +244,16 @@ def consensus_finalize(state: dict) -> list:
                 for ji, r in zip(batch_jis, res):
                     cons[ji], cons_q[ji] = r
         done = set(batch_jis)
-        for ji in pending_votes:
-            if ji not in done:
+        left = [ji for ji in pending_votes if ji not in done]
+        if len(left) > 16 and _native_available():
+            # no-batch fallback (or many pairwise jobs): the C vote
+            # releases the GIL, so a small pool still spreads per-job
+            # votes over cores
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(max_workers=4) as ex:
+                list(ex.map(vote_job, left))
+        else:
+            for ji in left:
                 vote_job(ji)
 
     # ---- rounds 2..R: racon role over core + dangling ----

@@ -270,12 +270,22 @@ def banded_fwd_pallas_packed(queries, targets, q_lens, t_lens,
     # chunk instead of (P_TILE, nq/8, W), so VMEM pressure is independent
     # of nq (the monolithic block OOMed scoped VMEM at nq >= 6144) and
     # larger p_tile fits.  DP state carries across chunks in VMEM scratch
-    # (grid dims are sequential on TPU).
-    RCHUNK = 512
-    if nq % RCHUNK:
-        queries = jnp.pad(queries, ((0, 0), (0, RCHUNK - nq % RCHUNK)),
+    # (grid dims are sequential on TPU).  The chunk is the largest
+    # multiple of 64 <= 512 dividing the 64-rounded nq, so small buckets
+    # never pad up to 512 (the ladder's 1.5x buckets land on 384/512).
+    nq64 = -(-nq // 64) * 64
+    if nq64 <= 512:
+        RCHUNK = nq64
+    else:
+        RCHUNK = 64
+        for d in range(512, 63, -64):
+            if nq64 % d == 0:
+                RCHUNK = d
+                break
+    if nq != nq64:
+        queries = jnp.pad(queries, ((0, 0), (0, nq64 - nq)),
                           constant_values=4)
-        nq = queries.shape[1]
+        nq = nq64
     min_nt = W + STAGE + 8
     if nt < min_nt:
         targets = jnp.pad(targets, ((0, 0), (0, min_nt - nt)),

@@ -433,9 +433,13 @@ def format_fastx(names: list, seqs: list, quals=None) -> "str | None":
     if lib is None or not hasattr(lib, "c3_format_fastx") or not names:
         return None if names else ""
     n = len(names)
-    name_blob = np.frombuffer("".join(names).encode("ascii"), dtype=np.uint8)
+    # utf-8 in/out: the C formatter treats name bytes opaquely, so
+    # non-ASCII read headers pass through unchanged (byte lengths, not
+    # str lengths, drive the offsets)
+    name_bytes = [x.encode("utf-8") for x in names]
+    name_blob = np.frombuffer(b"".join(name_bytes), dtype=np.uint8)
     name_off = np.zeros(n + 1, dtype=np.int64)
-    np.cumsum([len(x) for x in names], out=name_off[1:])
+    np.cumsum([len(x) for x in name_bytes], out=name_off[1:])
     seq_off = np.zeros(n + 1, dtype=np.int64)
     np.cumsum([len(s) for s in seqs], out=seq_off[1:])
     codes = np.ascontiguousarray(
@@ -453,7 +457,7 @@ def format_fastx(names: list, seqs: list, quals=None) -> "str | None":
                             codes, seq_off, qual_blob, n, out, cap)
     if w < 0:
         return None
-    return out[:w].tobytes().decode("ascii")
+    return out[:w].tobytes().decode("utf-8")
 
 
 def parse_fastq_bytes(data: bytes):

@@ -294,8 +294,11 @@ def run_pipeline(reads_path: str, splint_path: str, out_path: str,
     # flight, so the device queue stays fed through the host-side
     # phases.  Needs the single-round engine (a second round would align
     # from the finalize side and race the align thread's record arenas);
-    # finalize(g) always completes before prep(g+2) starts, so the two
-    # record-arena generations (slot = gi % 2) never collide.
+    # finalize of this host's k-th group always completes before its
+    # (k+2)-th prep starts, so the two record-arena generations
+    # (slot = k % 2, counted over OWNED groups — gi % 2 would collide
+    # under multihost round-robin with an even process_count) never
+    # overlap.
     deep = overlap and cfg.cons.rounds == 1
     loc_executor = ThreadPoolExecutor(max_workers=1) if deep else None
 
@@ -310,21 +313,23 @@ def run_pipeline(reads_path: str, splint_path: str, out_path: str,
         elif deep:
             from collections import deque
             gi = 0
+            owned = 0  # this host's processed-group counter (arena slot)
             prepped: deque = deque()  # (gi, prep future), depth <= 2
             for group in _read_groups(reads_path, cfg.lencutoff,
                                       cfg.group_size, filter_stats):
                 gi += 1
                 if gi <= skip_groups or not mine(gi):
                     continue
+                owned += 1
                 fut_loc = loc_executor.submit(_locate_group, group, combos,
                                               cfg, backend)
                 if len(prepped) == 2:
-                    # finalize g BEFORE queueing prep(g+2): frees record
-                    # arena slot gi % 2 for the next generation
+                    # finalize the oldest group BEFORE queueing the next
+                    # prep: frees its record arena slot
                     pgi, pfut = prepped.popleft()
                     finish_prep(pgi, pfut.result())
                 fut = executor.submit(
-                    lambda g=group, s=gi % 2, fl=fut_loc:
+                    lambda g=group, s=owned % 2, fl=fut_loc:
                         _prepare_group(g, combos, cfg, backend,
                                        fl.result(), s))
                 prepped.append((gi, fut))

@@ -227,7 +227,10 @@ class TpuBackend:
     def _sharded_align(self, band, match, mismatch, gap_open, gap_ext):
         """Banded align+walk shard_mapped over the batch dim: each device
         runs _align_trace_impl, so real TPU meshes take the Pallas
-        forward exactly like the single-chip path."""
+        forward exactly like the single-chip path.  Returns (fn, packed):
+        the ops encoding is captured when the fn is BUILT — re-reading
+        the env at call time could disagree with the compiled fn if
+        C3POA_ALIGN_PALLAS is toggled mid-run."""
         key = ("align", band, match, mismatch, gap_open, gap_ext)
         if key not in self._sharded_fns:
             import jax
@@ -242,7 +245,7 @@ class TpuBackend:
                 (P("data", None), P("data", None), P("data"), P("data")),
                 (P("data"), P("data"), P("data"), P("data"),
                  P("data", None)))
-            self._sharded_fns[key] = jax.jit(fn)
+            self._sharded_fns[key] = (jax.jit(fn), _pallas_align_on())
         return self._sharded_fns[key]
 
     # ---------------- locate ----------------
@@ -457,11 +460,10 @@ class TpuBackend:
                 self._seen_shapes.add(shape)
                 prof.current.count("align_compiled_shapes")
             if self.mesh is not None:
-                res = self._sharded_align(
+                fn, packed = self._sharded_align(
                     W, params.match, params.mismatch, params.gap_open,
-                    params.gap_ext)(Q, T, ql, tl)
-                # must mirror _align_trace_impl's choice inside shard_map
-                packed = _pallas_align_on()
+                    params.gap_ext)
+                res = fn(Q, T, ql, tl)
             else:
                 res, packed = _align_trace_impl(
                     Q, T, ql, tl, band=W, match=params.match,
