@@ -74,6 +74,19 @@ def _native_available() -> bool:
     return native.available()
 
 
+_VOTE_POOL = None
+
+
+def _vote_pool():
+    """Process-wide 4-thread pool for per-job votes (lazy)."""
+    global _VOTE_POOL
+    if _VOTE_POOL is None:
+        from concurrent.futures import ThreadPoolExecutor
+        _VOTE_POOL = ThreadPoolExecutor(max_workers=4,
+                                        thread_name_prefix="c3_vote")
+    return _VOTE_POOL
+
+
 def serial_align_many(pairs, p: ConsensusParams) -> list[SubreadAln]:
     """Numpy fallback aligner (the TPU backend substitutes a batched one)."""
     out = []
@@ -201,15 +214,25 @@ def consensus_finalize(state: dict) -> list:
     cons_q = state["cons_q"]
     by_owner = state["by_owner"]
 
+    def _use_pairwise(ji):
+        # the reference's 2-row merge applies to TWO FULL REPEATS
+        # (repeats==2, bin/determine_consensus.py:33-41).  A lone
+        # PARTIAL voter (r==1 + one windowed dangling fragment) must
+        # take the column vote instead: the gap-run rule would hand
+        # whole uncovered draft regions to the fragment's gap row and
+        # truncate the consensus.
+        return (p.pairwise and len(jobs[ji].subreads) == 2
+                and len(by_owner.get(ji, [])) == 1)
+
     def vote_job(ji):
         job = jobs[ji]
         di = cons[ji][1]
         draft = np.asarray(job.subreads[di], dtype=np.int8)
         draft_q = np.asarray(job.sub_quals[di], dtype=np.int8)
         others = by_owner.get(ji, [])
-        if p.pairwise and len(others) == 1:
-            # exactly two voters: the reference's 2-row quality merge
-            # (bin/consensus.py via bin/determine_consensus.py:33-41)
+        if _use_pairwise(ji):
+            # exactly two full repeats: the reference's 2-row quality
+            # merge (bin/consensus.py via bin/determine_consensus.py:33-41)
             a = others[0]
             cons[ji], cons_q[ji] = pairwise_merge(
                 draft, draft_q, a.rec, a.query, a.qual)
@@ -228,8 +251,7 @@ def consensus_finalize(state: dict) -> list:
             # the group (per-job Python->C round trips and (N, nt)
             # re-marshalling dominated this stage); 2-voter jobs keep the
             # reference's exact pairwise merge path
-            batch_jis = [ji for ji in pending_votes
-                         if not (p.pairwise and len(by_owner.get(ji, [])) == 1)]
+            batch_jis = [ji for ji in pending_votes if not _use_pairwise(ji)]
             from .. import native
             drafts = [np.asarray(jobs[ji].subreads[cons[ji][1]],
                                  dtype=np.int8) for ji in batch_jis]
@@ -248,10 +270,10 @@ def consensus_finalize(state: dict) -> list:
         if len(left) > 16 and _native_available():
             # no-batch fallback (or many pairwise jobs): the C vote
             # releases the GIL, so a small pool still spreads per-job
-            # votes over cores
-            from concurrent.futures import ThreadPoolExecutor
-            with ThreadPoolExecutor(max_workers=4) as ex:
-                list(ex.map(vote_job, left))
+            # votes over cores.  The pool persists across groups so the
+            # per-thread grow-only vote arenas (native._VOTE_TLS) stay
+            # warm instead of re-paying first-touch page faults.
+            list(_vote_pool().map(vote_job, left))
         else:
             for ji in left:
                 vote_job(ji)

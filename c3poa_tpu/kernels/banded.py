@@ -41,6 +41,23 @@ def band_starts_np(nq: int, nt: int, band: int) -> np.ndarray:
 SMAX = 3
 
 
+def band_lo_fn(q_lens, t_lens, band):
+    """The band placement lo(i) as a traced closure — THE single
+    definition every forward kernel and walker shares (the host twins
+    are band_starts_np and native/traceback.c:band_lo).  Any change here
+    must land in those two as well or forward moves desynchronize from
+    the walks."""
+    hi = jnp.maximum(t_lens + 1 - band, 0)
+
+    def lo_of(i):
+        i_eff = jnp.minimum(i, q_lens).astype(jnp.float32)
+        ctr = jnp.round(i_eff * t_lens.astype(jnp.float32) /
+                        jnp.maximum(q_lens, 1).astype(jnp.float32))
+        return jnp.clip(ctr.astype(jnp.int32) - band // 2, 0, hi)
+
+    return lo_of
+
+
 @partial(jax.jit, static_argnames=("band", "match", "mismatch",
                                    "gap_open", "gap_ext"))
 def banded_align_batch(queries: jax.Array, targets: jax.Array,
@@ -73,14 +90,8 @@ def banded_align_batch(queries: jax.Array, targets: jax.Array,
     targets = targets.astype(jnp.int32)
 
     karr = jnp.arange(W, dtype=jnp.int32)[None, :]           # (1, W)
-    hi = jnp.maximum(t_lens + 1 - W, 0)                      # (P,)
     R = SMAX + 1
-
-    def lo_of(i):
-        i_eff = jnp.minimum(i, q_lens).astype(jnp.float32)
-        ctr = jnp.round(i_eff * t_lens.astype(jnp.float32) /
-                        jnp.maximum(q_lens, 1).astype(jnp.float32))
-        return jnp.clip(ctr.astype(jnp.int32) - W // 2, 0, hi)  # (P,)
+    lo_of = band_lo_fn(q_lens, t_lens, W)                    # (P,) per row
 
     def sel_shift(M, s, delta, fill):
         """M[p, k + s[p] + delta] via select over static shifts;
@@ -213,15 +224,9 @@ def walk_ops_packed(mvp: jax.Array, q_lens: jax.Array, t_lens: jax.Array,
     nq_max = nq8 * 8
     q_lens = q_lens.astype(jnp.int32)
     t_lens = t_lens.astype(jnp.int32)
-    hi = jnp.maximum(t_lens + 1 - W, 0)
     mvp_flat = mvp.reshape(P, nq8 * W)
     parr = jnp.arange(P, dtype=jnp.int32)
-
-    def lo_of(i):
-        i_eff = jnp.minimum(i, q_lens).astype(jnp.float32)
-        ctr = jnp.round(i_eff * t_lens.astype(jnp.float32) /
-                        jnp.maximum(q_lens, 1).astype(jnp.float32))
-        return jnp.clip(ctr.astype(jnp.int32) - W // 2, 0, hi)
+    lo_of = band_lo_fn(q_lens, t_lens, W)
 
     def walk(carry, _):
         i, j, st = carry
@@ -292,14 +297,8 @@ def walk_ops_cached(mvp: jax.Array, q_lens: jax.Array, t_lens: jax.Array,
     nq_max = nq8 * 8
     q_lens = q_lens.astype(jnp.int32)
     t_lens = t_lens.astype(jnp.int32)
-    hi = jnp.maximum(t_lens + 1 - W, 0)
     mvp_flat = mvp.reshape(P, nq8 * W)
-
-    def lo_of(i):
-        i_eff = jnp.minimum(i, q_lens).astype(jnp.float32)
-        ctr = jnp.round(i_eff * t_lens.astype(jnp.float32) /
-                        jnp.maximum(q_lens, 1).astype(jnp.float32))
-        return jnp.clip(ctr.astype(jnp.int32) - W // 2, 0, hi)
+    lo_of = band_lo_fn(q_lens, t_lens, W)
 
     def substep(carry, w3, m_c, k_c):
         i, j, st = carry
@@ -400,16 +399,10 @@ def banded_align_trace_batch(queries: jax.Array, targets: jax.Array,
 
     q_lens = q_lens.astype(jnp.int32)
     t_lens = t_lens.astype(jnp.int32)
-    hi = jnp.maximum(t_lens + 1 - W, 0)
     nq_pad = moves.shape[1]  # banded_align_batch pads rows to its unroll
     moves_flat = moves.reshape(P, nq_pad * W)
     parr = jnp.arange(P, dtype=jnp.int32)
-
-    def lo_of(i):
-        i_eff = jnp.minimum(i, q_lens).astype(jnp.float32)
-        ctr = jnp.round(i_eff * t_lens.astype(jnp.float32) /
-                        jnp.maximum(q_lens, 1).astype(jnp.float32))
-        return jnp.clip(ctr.astype(jnp.int32) - W // 2, 0, hi)
+    lo_of = band_lo_fn(q_lens, t_lens, W)
 
     def walk(carry, _):
         i, j, st = carry

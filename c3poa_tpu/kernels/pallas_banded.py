@@ -43,7 +43,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .banded import SMAX
+from .banded import SMAX, band_lo_fn
 
 NEG = -(2 ** 28)
 
@@ -79,16 +79,10 @@ def _kernel(ql_ref, tl_ref, q_ref, t_ref, mvp_ref, score_ref, jend_ref,
     ql = ql_ref[:].astype(jnp.int32)          # (P_t, 1)
     tl = tl_ref[:].astype(jnp.int32)
     karr = jax.lax.broadcasted_iota(jnp.int32, (P_TILE, W), 1)
-    hi = jnp.maximum(tl + 1 - W, 0)
     Q = q_ref[:].astype(jnp.int32)            # (P_t, nq)
     T = t_ref[:].astype(jnp.int32)            # (P_t, nt)
     ci = pl.program_id(1)                     # row-chunk index (sequential)
-
-    def lo_of(i):
-        i_eff = jnp.minimum(i, ql).astype(jnp.float32)
-        ctr = jnp.round(i_eff * tl.astype(jnp.float32) /
-                        jnp.maximum(ql, 1).astype(jnp.float32))
-        return jnp.clip(ctr.astype(jnp.int32) - W // 2, 0, hi)   # (P_t, 1)
+    lo_of = band_lo_fn(ql, tl, W)             # (P_t, 1) per row
 
     def refill(buf, lo_i):
         """Restock buf[:, W:] with t[a + W .. a + W + STAGE), a = lo_i - 1."""

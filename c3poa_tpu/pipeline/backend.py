@@ -75,9 +75,13 @@ class NumpyBackend:
     # from the best hit's span: shifted self-alignments of a self-similar
     # adapter (the bundled 5' adapter scores 31 against itself at shift
     # ~13) overlap the best span heavily, while a genuine second adapter
-    # copy — even an adjacent dimer — occupies its own span.  Spans may
-    # share at most this many columns.
-    OVERLAP_TOL = 4
+    # copy — even an adjacent dimer — occupies its own span.  Canonical
+    # value lives in kernels/adapters.py (imported lazily: kernels must
+    # not import the pipeline layer).
+    @property
+    def OVERLAP_TOL(self):
+        from ..kernels.adapters import OVERLAP_TOL
+        return OVERLAP_TOL
 
     def adapter_hits(self, reads, combo_codes, combo_lens):
         """Best-two local hits with coords per (read, adapter combo).

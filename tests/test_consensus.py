@@ -3,7 +3,7 @@ import pytest
 
 from c3poa_tpu import sim
 from c3poa_tpu.consensus import consensus_read, zero_repeat_consensus
-from c3poa_tpu.consensus.engine import ConsensusParams
+from c3poa_tpu.consensus.engine import ConsensusJob, ConsensusParams, consensus_many
 from c3poa_tpu.consensus.overlap import find_overlap
 from c3poa_tpu.consensus.vote import vote_consensus, record_for_draft, SubreadAln
 from c3poa_tpu.ref import banded
@@ -141,3 +141,23 @@ def test_zero_repeat_no_overlap_returns_empty():
     qa = np.full(400, 20, dtype=np.int8)
     cons, _ = zero_repeat_consensus(a, qa, b, qa)
     assert len(cons) == 0
+
+
+def test_single_repeat_with_partial_dangling_not_truncated():
+    """A 1-repeat read with one PARTIAL dangling fragment must take the
+    column vote, not the 2-row pairwise merge: the merge's gap-run rule
+    would hand whole uncovered draft regions to the fragment's gap row
+    and truncate the consensus (reference pairwise applies only to two
+    full repeats, bin/determine_consensus.py:33-41)."""
+    from c3poa_tpu import sim
+    from c3poa_tpu.utils.seqs import encode
+
+    rng = np.random.default_rng(0)
+    truth = sim.random_seq(rng, 2000)
+    draft = encode(sim.mutate(rng, truth, 0.03, 0.015, 0.015))
+    dq = np.full(len(draft), 12, dtype=np.int8)
+    frag = encode(sim.mutate(rng, truth[700:1200], 0.03, 0.015, 0.015))
+    fq = np.full(len(frag), 20, dtype=np.int8)
+    job = ConsensusJob([draft], [dq], [frag], [fq])
+    (cons, _cq), = consensus_many([job], ConsensusParams())
+    assert len(cons) > 0.9 * len(draft), (len(cons), len(draft))
