@@ -125,3 +125,43 @@ def test_two_process_cpu_run_matches_single(tmp_path):
     assert set(t1) == set(t2), (sorted(t1), sorted(t2))
     for rel in t1:
         assert t1[rel] == t2[rel], f"{rel} differs"
+
+
+@pytest.mark.slow
+def test_two_process_deep_pipeline_matches_single(tmp_path):
+    """Same 2-process byte-parity but through the kernel backend's
+    3-stage deep pipeline (backend auto -> TpuBackend on the CPU test
+    env).  Guards the record-arena slot logic: under round-robin
+    ownership a host preps CONSECUTIVE owned groups, so slots must be
+    counted per host, not by global group index."""
+    from c3poa_tpu import sim
+
+    reads, splints = sim.make_dataset(
+        n_reads=10, seed=4, insert_len=(300, 600), copies=(3, 6),
+        error=0.04)
+    sim.write_fastq(str(tmp_path / "reads.fastq"), reads)
+    sim.write_fasta(str(tmp_path / "splint.fasta"), splints)
+
+    base = [sys.executable, "-m", "c3poa_tpu.cli",
+            "-r", str(tmp_path / "reads.fastq"),
+            "-s", str(tmp_path / "splint.fasta"),
+            "-l", "500", "-g", "2", "--backend", "auto"]
+    env = dict(os.environ, C3POA_FORCE_CPU="1", JAX_PLATFORMS="cpu",
+               C3POA_PROGRESS="0")
+
+    out1 = str(tmp_path / "t1")
+    subprocess.run(base + ["-o", out1], check=True, env=env, timeout=300)
+
+    out2 = str(tmp_path / "t2")
+    port = 21000 + os.getpid() % 10000
+    procs = [subprocess.Popen(
+        base + ["-o", out2, "--coordinator", f"localhost:{port}",
+                "--num_processes", "2", "--process_id", str(i)],
+        env=env) for i in range(2)]
+    for p in procs:
+        assert p.wait(timeout=300) == 0
+
+    t1, t2 = _tree(out1), _tree(out2)
+    assert set(t1) == set(t2), (sorted(t1), sorted(t2))
+    for rel in t1:
+        assert t1[rel] == t2[rel], f"{rel} differs"
