@@ -158,10 +158,14 @@ def _align_trace_impl(Q, T, ql, tl, *, band, match, mismatch, gap_open,
     Returns (result, ops_packed)."""
     if _pallas_align_on():
         from ..kernels.pallas_banded import banded_align_trace_pallas_cached
-        # p_tile=32 measured best end-to-end (interleaved A/B: 240-255
-        # vs 212 reads/s at p_tile=64 — the isolated microbench prefers
-        # 64, but the larger VMEM footprint loses under pipeline load)
-        pt = int(os.environ.get("C3POA_ALIGN_PTILE", "32"))
+        # p_tile=64 measured best end-to-end AFTER the per-bucket row
+        # chunks shrank the VMEM out blocks (interleaved A/B: 298/340 vs
+        # 262/292 reads/s at p_tile=32; before that change the bigger
+        # footprint made 64 lose).  Buckets past 4096 rows keep 32: the
+        # kernel's int32 query/target copies scale with nq and p_tile=64
+        # measured 17.4 MB > the 16 MB scoped VMEM limit at 6144.
+        pt = int(os.environ.get("C3POA_ALIGN_PTILE",
+                                "64" if Q.shape[1] <= 4096 else "32"))
         return banded_align_trace_pallas_cached(
             Q, T, ql, tl, band=band, match=match, mismatch=mismatch,
             gap_open=gap_open, gap_ext=gap_ext, p_tile=pt), True
