@@ -86,6 +86,14 @@ def parse_args(argv=None):
 
 
 def pick_backend(name: str):
+    import os
+    if os.environ.get("C3POA_FORCE_CPU") == "1":
+        # pin the CPU platform (sitecustomize on some hosts preregisters
+        # an accelerator platform before user code, so env vars alone are
+        # too late); previously only the multi-process path applied this,
+        # leaving single-process "CPU" runs on the accelerator
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     if name == "numpy":
         from .pipeline.backend import NumpyBackend
         return NumpyBackend()

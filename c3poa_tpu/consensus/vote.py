@@ -109,7 +109,10 @@ def vote_consensus(nt: int, alns: Sequence[SubreadAln], qmin: int = 5,
     col_q = np.zeros(nt, dtype=np.int64)
     w = col_winner[covered]
     cw = counts[covered, w]
-    col_q[covered] = np.where(cw > 0, qsum[covered, w] // np.maximum(cw, 1), 0)
+    # clamp like the C path (qsum includes sub-qmin gated votes, so the
+    # mean can exceed 93 — or even int8 range, which numpy>=2 rejects)
+    col_q[covered] = np.minimum(
+        np.where(cw > 0, qsum[covered, w] // np.maximum(cw, 1), 0), 93)
 
     # insertion slots
     out_codes: list[np.ndarray] = []

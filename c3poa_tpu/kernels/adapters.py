@@ -26,16 +26,9 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-NEG = jnp.int32(-(2 ** 30))
+from ..constants import ADAPTER_OVERLAP_TOL as OVERLAP_TOL
 
-# A second hit only counts when its aligned span is (near-)disjoint from
-# the best hit's span: shifted self-alignments of a self-similar adapter
-# overlap the best span heavily, while a genuine second adapter copy
-# occupies its own span.  Spans may share at most this many columns.
-# Canonical constant — pipeline.backend.NumpyBackend reads it from here
-# so both backends report identical second hits (kernels must not import
-# the pipeline layer).
-OVERLAP_TOL = 4
+NEG = jnp.int32(-(2 ** 30))
 
 
 @partial(jax.jit, static_argnames=("match", "mismatch", "gap"))

@@ -133,7 +133,7 @@ def get_lib():
     try:
         lib.c3_sliding_min_dist_multi.restype = None
         lib.c3_sliding_min_dist_multi.argtypes = [
-            u8p, i64, u8p, i64p, i32, i32p,
+            u8p, i64p, u8p, i64p, i32, i32p,
         ]
     except AttributeError:  # stale .so without the demux symbol
         pass
@@ -397,10 +397,13 @@ _SLIDE_CACHE: dict = {}
 
 
 def sliding_min_dists_c(seq: str, idx_seqs: tuple) -> "np.ndarray | None":
-    """C fast path: min sliding Levenshtein of every index against seq
-    (exact ref/lev.py semantics).  Returns (n_idx,) int32 distances, or
-    None when the library/symbol is unavailable or an index exceeds the
-    C DP width (the caller runs the Python path).
+    """C fast path: min sliding Levenshtein of every index against seq,
+    with the reference match_index's window truncation — its
+    position-outer loop breaks at the first index whose window overruns,
+    so index i only sees positions p <= len(seq) - max(len of indexes
+    listed up to i) (C3POa_postprocessing.py:269-278).  Returns (n_idx,)
+    int32 distances, or None when the library/symbol is unavailable or
+    an index exceeds the C DP width (the caller runs the Python path).
     """
     lib = get_lib()
     if lib is None or not hasattr(lib, "c3_sliding_min_dist_multi"):
@@ -411,11 +414,18 @@ def sliding_min_dists_c(seq: str, idx_seqs: tuple) -> "np.ndarray | None":
         blob = np.frombuffer("".join(idx_seqs).encode(), dtype=np.uint8)
         off = np.zeros(len(idx_seqs) + 1, dtype=np.int64)
         np.cumsum([len(s) for s in idx_seqs], out=off[1:])
-        cached = _SLIDE_CACHE[key] = (np.ascontiguousarray(blob), off)
-    blob, off = cached
+        # prefix max of index lengths, in file order
+        maxpref = np.maximum.accumulate(
+            np.array([len(s) for s in idx_seqs], dtype=np.int64))
+        lens = np.array([len(s) for s in idx_seqs], dtype=np.int64)
+        cached = _SLIDE_CACHE[key] = (np.ascontiguousarray(blob), off,
+                                      maxpref, lens)
+    blob, off, maxpref, lens = cached
     s = np.frombuffer(seq.encode(), dtype=np.uint8)
+    # effective seq length per index: windows p <= n - maxpref[i]
+    n_eff = np.ascontiguousarray(len(s) - maxpref + lens)
     out = np.empty(len(idx_seqs), dtype=np.int32)
-    lib.c3_sliding_min_dist_multi(np.ascontiguousarray(s), len(s),
+    lib.c3_sliding_min_dist_multi(np.ascontiguousarray(s), n_eff,
                                   blob, off, len(idx_seqs), out)
     if (out < 0).any():  # an index wider than the C DP row
         return None

@@ -20,6 +20,7 @@ from typing import NamedTuple, Sequence
 import numpy as np
 
 from ..consensus.engine import ConsensusParams, serial_align_many
+from ..constants import ADAPTER_OVERLAP_TOL
 from ..ref import peaks as ref_peaks
 from ..ref import sg as ref_sg
 from ..ref import sw as ref_sw
@@ -71,17 +72,11 @@ class NumpyBackend:
     # so sloppy chance alignments must not reach the matches>10 threshold.
     ADAPTER_SCORING = (1, -3, 3)  # match, mismatch, gap penalty
 
-    # A second hit only counts when its aligned span is (near-)disjoint
-    # from the best hit's span: shifted self-alignments of a self-similar
-    # adapter (the bundled 5' adapter scores 31 against itself at shift
-    # ~13) overlap the best span heavily, while a genuine second adapter
-    # copy — even an adjacent dimer — occupies its own span.  Canonical
-    # value lives in kernels/adapters.py (imported lazily: kernels must
-    # not import the pipeline layer).
-    @property
-    def OVERLAP_TOL(self):
-        from ..kernels.adapters import OVERLAP_TOL
-        return OVERLAP_TOL
+    # span-disjointness tolerance for second adapter hits; canonical
+    # value lives in the import-free constants module so numpy-only mp
+    # workers never touch the kernels layer (whose module scope creates
+    # jnp scalars and would initialize the accelerator backend)
+    OVERLAP_TOL = ADAPTER_OVERLAP_TOL
 
     def adapter_hits(self, reads, combo_codes, combo_lens):
         """Best-two local hits with coords per (read, adapter combo).

@@ -64,10 +64,17 @@ class AdapterHit(NamedTuple):
 
 
 def match_index(seq: str, seq_to_idx: dict) -> str:
-    """Exact port of reference match_index (C3POa_postprocessing.py:266-285).
-    seq_to_idx: {index_seq: index_name} in index-file order.  A C fast
-    path (native/overlap.c) computes all sliding distances in one call
-    (~50x; the per-index numpy DP dominated postprocess demux)."""
+    """Exact port of reference match_index (C3POa_postprocessing.py:266-285),
+    including its window truncation for mixed-length index files: the
+    reference's position-outer loop `break`s at the first index whose
+    window overruns, so index i only sees positions
+    p <= len(seq) - max(len of indexes listed up to i).  Deviation
+    (documented): an index with NO valid window contributes its own
+    length as the distance, where the reference raises ValueError /
+    IndexError.  seq_to_idx: {index_seq: index_name} in index-file
+    order.  A C fast path (native/overlap.c) computes all sliding
+    distances in one call (~50x; the per-index numpy DP dominated
+    postprocess demux)."""
     if not seq_to_idx:
         return "-"
     from .. import native
@@ -76,9 +83,15 @@ def match_index(seq: str, seq_to_idx: dict) -> str:
         names = list(seq_to_idx.values())
         dist_list = sorted(zip(names, dists.tolist()), key=lambda x: x[1])
     else:
-        dist_list = sorted(
-            ((idx, sliding_min_distance(seq, idx_seq))
-             for idx_seq, idx in seq_to_idx.items()), key=lambda x: x[1])
+        maxpref = 0
+        pairs = []
+        for idx_seq, idx in seq_to_idx.items():
+            maxpref = max(maxpref, len(idx_seq))
+            pairs.append(
+                (idx, sliding_min_distance(
+                    seq[:max(0, len(seq) - maxpref + len(idx_seq))],
+                    idx_seq)))
+        dist_list = sorted(pairs, key=lambda x: x[1])
     second = dist_list[1][1] if len(dist_list) > 1 else np.inf
     if dist_list[0][1] < 2 and second - dist_list[0][1] > 1:
         return dist_list[0][0]
@@ -148,7 +161,11 @@ class _Writers:
         return self._open(self.MUX)
 
     def sizes(self) -> dict:
-        out = {}
+        # start from the restored snapshot: files valid from a previous
+        # session but untouched in THIS one must stay in the manifest,
+        # or a third session would open them in 'w' mode and truncate
+        # every earlier record
+        out = dict(self.restore_sizes)
         for key, fh in self._h.items():
             fh.flush()
             out["/".join(key)] = fh.tell()
@@ -200,8 +217,7 @@ class PostprocessStats:
 
 def _process_read(name, sequence, hits, cfg, writers, idx_to_seq, seq_to_idx,
                   stats):
-    plus = sorted([h for h in hits["+"]], key=lambda h: h.position)
-    minus = sorted([h for h in hits["-"]], key=lambda h: h.position)
+    plus, minus = hits["+"], hits["-"]
     if len(plus) != 1 or len(minus) != 1:
         stats.no_adapter += 1
         return

@@ -129,7 +129,11 @@ class _SplintWriters:
         return self._handles[splint]
 
     def sizes(self) -> dict:
-        out = {}
+        # start from the restored snapshot: splints valid from a previous
+        # session but untouched in THIS one must stay in the manifest, or
+        # a third session would open their files in 'w' mode and truncate
+        # every earlier record
+        out = dict(self.restore_sizes)
         for splint, (cons, subs) in self._handles.items():
             cons.flush()
             subs.flush()

@@ -48,14 +48,16 @@ static inline uint64_t mix64(uint64_t x) {
 }
 
 /* Sliding-window Levenshtein for oligo-dT index demux (the reference's
- * editdistance role, C3POa_postprocessing.py:269-278): for each index
+ * editdistance role, C3POa_postprocessing.py:266-285): for each index
  * i, out[i] = min over window offsets p of the unit-cost edit distance
- * between seq[p : p + len_i] and index i (len_i = its full length), or
- * len_i when no full window fits.  One call covers every index of a
- * junction window — the per-call numpy version cost ~0.2 ms x 95k calls
- * on a 4k-read postprocess run.  Bytes compare raw (ASCII), matching
- * ref/lev.py. */
-void c3_sliding_min_dist_multi(const uint8_t *seq, int64_t n,
+ * between seq[p : p + len_i] and index i, with windows limited to
+ * p + len_i <= n_eff[i] (the caller derives n_eff from the reference's
+ * position-outer loop, whose inner `break` stops later-listed indexes
+ * at the first too-long window of any EARLIER index), or len_i when no
+ * window fits.  One call covers every index of a junction window — the
+ * per-call numpy version cost ~0.2 ms x 95k calls on a 4k-read
+ * postprocess run.  Bytes compare raw (ASCII), matching ref/lev.py. */
+void c3_sliding_min_dist_multi(const uint8_t *seq, const int64_t *n_eff,
                                const uint8_t *idx_blob,
                                const int64_t *idx_off, int32_t n_idx,
                                int32_t *out) {
@@ -63,6 +65,7 @@ void c3_sliding_min_dist_multi(const uint8_t *seq, int64_t n,
     for (int32_t x = 0; x < n_idx; x++) {
         const uint8_t *idx = idx_blob + idx_off[x];
         int64_t m = idx_off[x + 1] - idx_off[x];
+        int64_t n = n_eff[x];
         if (m > 63) { out[x] = -1; continue; }  /* caller falls back */
         if (n < m) { out[x] = (int32_t)m; continue; }
         int32_t best = (int32_t)m;

@@ -106,10 +106,14 @@ int32_t c3_ops_record(
     for (int32_t j = 0; j <= nt; j++) ins_qstart[j] = -1;
 
     int32_t i = nq, j = j_end;
-    for (int32_t s = 0; s < n_ops; s++) {
+    /* i > 0 / j > 0 guards make the walk-termination invariant local:
+     * an unfinished or garbage-padded ops row (callers normally filter
+     * i_rem > 0 rows) must not drive i/j negative into OOB accesses */
+    for (int32_t s = 0; s < n_ops && i > 0; s++) {
         uint8_t op = ops[s];
         if (op == 0) break;
         if (op == 1) {
+            if (j <= 0) break;
             cover[j - 1] = 1;
             base[j - 1] = q[i - 1];
             qpos[j - 1] = i - 1;
@@ -119,6 +123,7 @@ int32_t c3_ops_record(
             ins_qstart[j] = i - 1;
             i--;
         } else {
+            if (j <= 0) break;
             cover[j - 1] = 2;
             j--;
         }
@@ -151,6 +156,7 @@ int32_t c3_ops_record_packed(
             uint8_t op = (b >> (2 * u)) & 3;
             if (op == 0) continue;
             if (op == 1) {
+                if (j <= 0) { i = 0; break; }
                 cover[j - 1] = 1;
                 base[j - 1] = q[i - 1];
                 qpos[j - 1] = i - 1;
@@ -160,6 +166,7 @@ int32_t c3_ops_record_packed(
                 ins_qstart[j] = i - 1;
                 i--;
             } else {
+                if (j <= 0) { i = 0; break; }
                 cover[j - 1] = 2;
                 j--;
             }

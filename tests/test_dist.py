@@ -110,7 +110,7 @@ def test_two_process_cpu_run_matches_single(tmp_path):
                C3POA_PROGRESS="0")
 
     out1 = str(tmp_path / "out1")
-    subprocess.run(base + ["-o", out1], check=True, env=env, timeout=300)
+    subprocess.run(base + ["-o", out1], check=True, env=env, timeout=900)
 
     out2 = str(tmp_path / "out2")
     port = 20000 + os.getpid() % 10000
@@ -119,7 +119,7 @@ def test_two_process_cpu_run_matches_single(tmp_path):
                 "--num_processes", "2", "--process_id", str(i)],
         env=env) for i in range(2)]
     for p in procs:
-        assert p.wait(timeout=300) == 0
+        assert p.wait(timeout=900) == 0
 
     t1, t2 = _tree(out1), _tree(out2)
     assert set(t1) == set(t2), (sorted(t1), sorted(t2))
@@ -150,7 +150,9 @@ def test_two_process_deep_pipeline_matches_single(tmp_path):
                C3POA_PROGRESS="0")
 
     out1 = str(tmp_path / "t1")
-    subprocess.run(base + ["-o", out1], check=True, env=env, timeout=300)
+    # generous timeouts: each subprocess compiles the CPU XLA kernels
+    # fresh, which is minutes-slow under full-suite load
+    subprocess.run(base + ["-o", out1], check=True, env=env, timeout=900)
 
     out2 = str(tmp_path / "t2")
     port = 21000 + os.getpid() % 10000
@@ -159,7 +161,7 @@ def test_two_process_deep_pipeline_matches_single(tmp_path):
                 "--num_processes", "2", "--process_id", str(i)],
         env=env) for i in range(2)]
     for p in procs:
-        assert p.wait(timeout=300) == 0
+        assert p.wait(timeout=900) == 0
 
     t1, t2 = _tree(out1), _tree(out2)
     assert set(t1) == set(t2), (sorted(t1), sorted(t2))

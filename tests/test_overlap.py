@@ -84,10 +84,31 @@ def test_parity_parameter_sweep():
                 _check(t, q, k=k, band=band, min_matches=mm)
 
 
+def _reference_min_dists(seq, idx_seqs):
+    """Literal port of the reference match_index distance loop
+    (C3POa_postprocessing.py:269-278): positions outer, indexes inner,
+    break at the first index whose window overruns — later-listed
+    indexes lose tail windows after a longer index.  Indexes with no
+    valid window fall back to their own length (our documented
+    deviation: the reference raises there)."""
+    from c3poa_tpu.ref.lev import levenshtein
+    dists = {i: [] for i in range(len(idx_seqs))}
+    for position in range(len(seq)):
+        for i, idx_seq in enumerate(idx_seqs):
+            query = seq[position:position + len(idx_seq)]
+            if len(query) != len(idx_seq):
+                break
+            dists[i].append(levenshtein(query, idx_seq))
+    return [min(dists[i]) if dists[i] else len(idx_seqs[i])
+            for i in range(len(idx_seqs))]
+
+
 def test_sliding_min_dists_c_parity():
-    """C sliding-Levenshtein demux distances == the Python path on random
-    junction windows, short windows (n < m), and exact/near matches."""
-    from c3poa_tpu.ref.lev import sliding_min_distance
+    """C sliding-Levenshtein demux distances == the reference loop and
+    the Python fallback on random junction windows, mixed index lengths
+    (the reference's inner break truncates tail windows), short windows
+    (n < m), and exact/near matches."""
+    from c3poa_tpu.pipeline.postprocess import match_index
     if native.sliding_min_dists_c("ACGT", ("AC",)) is None:
         pytest.skip("native demux symbol not built")
     rng = np.random.default_rng(7)
@@ -107,5 +128,13 @@ def test_sliding_min_dists_c_parity():
                 s[pos + 1] = "ACGT"[int(rng.integers(0, 4))]
             seq = "".join(s)[:n]
         got = native.sliding_min_dists_c(seq, idxs)
-        want = [sliding_min_distance(seq, i) for i in idxs]
+        want = _reference_min_dists(seq, idxs)
         assert got.tolist() == want, (seq, got.tolist(), want)
+        # the no-native Python fallback must agree with the C decision
+        seq_to_idx = {s: f"I{i}" for i, s in enumerate(idxs)}
+        got_name = match_index(seq, seq_to_idx)
+        pairs = sorted(zip([f"I{i}" for i in range(len(idxs))], want),
+                       key=lambda x: x[1])
+        exp = pairs[0][0] if (pairs[0][1] < 2
+                              and pairs[1][1] - pairs[0][1] > 1) else "-"
+        assert got_name == exp
