@@ -73,29 +73,46 @@ def _sel_shift(M, s, delta, fill):
 
 def _kernel(ql_ref, tl_ref, q_ref, t_ref, mvp_ref, score_ref, jend_ref,
             H_s, E_s, buf_s, qbuf_s, lo_s, *, match, mismatch, gap_open,
-            gap_ext, W, nq, nt, levels, P_TILE, RC8, NC):
+            gap_ext, W, nq, nt, levels, P_TILE, RC8, NC, NH):
     oe = gap_open + gap_ext
     e = gap_ext
-    ql = ql_ref[:].astype(jnp.int32)          # (P_t, 1)
-    tl = tl_ref[:].astype(jnp.int32)
-    karr = jax.lax.broadcasted_iota(jnp.int32, (P_TILE, W), 1)
-    Q = q_ref[:].astype(jnp.int32)            # (P_t, nq)
-    T = t_ref[:].astype(jnp.int32)            # (P_t, nt)
+    HS = P_TILE // NH                         # pairs per interleaved state
+    ql_t = ql_ref[:].astype(jnp.int32)        # (P_t, 1)
+    tl_t = tl_ref[:].astype(jnp.int32)
+    karr = jax.lax.broadcasted_iota(jnp.int32, (HS, W), 1)
+    karr_t = jax.lax.broadcasted_iota(jnp.int32, (P_TILE, W), 1)
+    Q_t = q_ref[:].astype(jnp.int32)          # (P_t, nq)
+    T_t = t_ref[:].astype(jnp.int32)          # (P_t, nt)
     ci = pl.program_id(1)                     # row-chunk index (sequential)
-    lo_of = band_lo_fn(ql, tl, W)             # (P_t, 1) per row
 
-    def refill(buf, lo_i):
+    # NH > 1 splits the tile into NH independent DP states whose rows are
+    # interleaved in program order: each row's serial dependency chain
+    # (shift -> max -> prefix-max) then overlaps the other states' issue
+    # slots instead of stalling the VPU (the p_tile sweep decomposed the
+    # block cost as ~8 us fixed chain latency + ~3 us per (8, 128) tile,
+    # bounding the win at ~1.3x for NH=2).  Identical math per pair.
+    halves = []
+    for h in range(NH):
+        sl = slice(h * HS, (h + 1) * HS)
+        ql, tl, Q, T = ql_t[sl], tl_t[sl], Q_t[sl], T_t[sl]
+        halves.append((ql, tl, Q, T, band_lo_fn(ql, tl, W)))
+
+    def _cat(parts, axis=0):
+        return parts[0] if NH == 1 else jnp.concatenate(parts, axis=axis)
+
+    def refill(h, buf, lo_i):
         """Restock buf[:, W:] with t[a + W .. a + W + STAGE), a = lo_i - 1."""
+        ql, tl, Q, T, lo_of = halves[h]
         rows = []
-        for p in range(P_TILE):
+        for p in range(HS):
             a_p = lo_i[p, 0] - 1
             start = a_p + W
             sh = (nt - start % nt) % nt
             rolled = pltpu.roll(T[p:p + 1, :], shift=sh, axis=1)
             rows.append(rolled[:, :STAGE])
-        stage = jnp.concatenate(rows, axis=0)                    # (P_t, STAGE)
+        stage = jnp.concatenate(rows, axis=0) if HS > 1 else rows[0]
         # chars at/after t_len present as pad (4)
-        off = jax.lax.broadcasted_iota(jnp.int32, (P_TILE, STAGE), 1)
+        off = jax.lax.broadcasted_iota(jnp.int32, (HS, STAGE), 1)
         pos = (lo_i - 1 + W) + off
         stage = jnp.where((pos < 0) | (pos >= tl), 4, stage)
         return jnp.concatenate([buf[:, :W], stage], axis=1)
@@ -104,18 +121,79 @@ def _kernel(ql_ref, tl_ref, q_ref, t_ref, mvp_ref, score_ref, jend_ref,
     # from VMEM scratch (grid dim 1 is sequential / "arbitrary")
     @pl.when(ci == 0)
     def _init():
-        lo0 = lo_of(jnp.int32(0))
-        in_band0 = (lo0 + karr) <= tl
+        lo0 = band_lo_fn(ql_t, tl_t, W)(jnp.int32(0))
+        in_band0 = (lo0 + karr_t) <= tl_t
         H_s[:] = jnp.where(in_band0, 0, NEG)
         E_s[:] = jnp.full((P_TILE, W), NEG, dtype=jnp.int32)
         # initial window anchor a = lo(0) - 1 = -1: [pad | t[0:W+STAGE-1]]
         buf_s[:] = jnp.concatenate(
             [jnp.full((P_TILE, 1), 4, dtype=jnp.int32),
-             T[:, :W + STAGE - 1]], axis=1)
-        qbuf_s[:] = Q[:, :QW]
+             T_t[:, :W + STAGE - 1]], axis=1)
+        qbuf_s[:] = Q_t[:, :QW]
         lo_s[:] = lo0
 
-    grp0 = jnp.zeros((P_TILE, 8, W), dtype=jnp.int32)
+    def row_step(h, u, i0, b, st):
+        H, E, buf, qbuf, lo_prev, pack = st
+        ql, tl, Q, T, lo_of = halves[h]
+        i = i0 + u
+        lo_i = lo_of(i)
+        s = lo_i - lo_prev                                   # (HS, 1)
+        Hd = _sel_shift(H, s, -1, NEG)
+        # Hp[k] = H[k+s] = Hd[k+1] for k < W-1; lane W-1 is only
+        # reachable when s == 0
+        Hp = jnp.where(karr == W - 1,
+                       jnp.where(s == 0, H[:, W - 1:W], NEG),
+                       pltpu.roll(Hd, shift=W - 1, axis=1))
+        Ep = _sel_shift(E, s, 0, NEG)
+        buf = _sel_shift(buf, s, 0, 4)
+        if u == 0:
+            # restock the staged target chars every REFILL_BLOCKS
+            # blocks (consumes <= SMAX * 8 * REFILL_BLOCKS < STAGE
+            # between restocks)
+            buf = jax.lax.cond(b % REFILL_BLOCKS == 0,
+                               lambda: refill(h, buf, lo_i), lambda: buf)
+        qc = qbuf[:, u:u + 1]                                # (HS, 1)
+        tc = buf[:, :W]
+        sub = jnp.where((qc == 4) | (tc == 4), 0,
+                        jnp.where(qc == tc, match, mismatch))
+
+        jcol = lo_i + karr
+        En = jnp.maximum(Hp - oe, Ep - e)
+        eext = (Ep - e) > (Hp - oe)
+        diag = jnp.where(jcol >= 1, Hd + sub, NEG)
+        Ht = jnp.maximum(diag, En)
+        A = Ht + e * karr
+        d = 1
+        for _ in range(levels):
+            sh = pltpu.roll(A, shift=d, axis=1)
+            sh = jnp.where(karr >= d, sh, NEG)
+            A = jnp.maximum(A, sh)
+            d *= 2
+        F = jnp.where(karr >= 1,
+                      pltpu.roll(A, shift=1, axis=1) - oe - e * karr + e,
+                      NEG)
+        fprev = jnp.where(karr >= 1, pltpu.roll(F, shift=1, axis=1), NEG)
+        htprev = jnp.where(karr >= 1, pltpu.roll(Ht, shift=1, axis=1),
+                           NEG)
+        fext = (karr >= 1) & ((fprev - e) > (htprev - oe))
+        Hn = jnp.maximum(Ht, F)
+        src = jnp.where((diag >= En) & (diag >= F), 0,
+                        jnp.where(En >= F, 1, 2))
+        mv = (src | (eext.astype(jnp.int32) << 2) |
+              (fext.astype(jnp.int32) << 3))
+
+        in_band = jcol <= tl
+        Hn = jnp.where(in_band, Hn, NEG)
+        En = jnp.where(in_band, En, NEG)
+        mv = jnp.where(in_band, mv, 0)
+
+        active = i <= ql
+        H = jnp.where(active, Hn, Hp)
+        E = jnp.where(active, En, Ep)
+
+        # nibble u of the block's move word — static shift, no select
+        pack = mv if u == 0 else pack | (mv << (4 * u))
+        return H, E, buf, qbuf, lo_i, pack
 
     # One fori_loop step = one 8-row block = one finished move word:
     # the nibble index is static per unrolled row (no per-row pack
@@ -123,131 +201,96 @@ def _kernel(ql_ref, tl_ref, q_ref, t_ref, mvp_ref, score_ref, jend_ref,
     # per-row loop fixed cost is amortized 8x (measured ~9% on the
     # shipped (2048, 2048, 128) batch vs the row-at-a-time loop).
     def block(b, carry):
-        H, E, buf, qbuf, lo_prev, grp = carry
         i0 = 8 * b + 1
+        sts = []
+        for h in range(NH):
+            H, E, buf, qbuf, lo_prev, grp = carry[h]
+            Qh = halves[h][2]
 
-        def fresh_q():
-            qsh = (nq - (i0 - 1) % nq) % nq
-            return pltpu.roll(Q, shift=qsh, axis=1)[:, :QW]
+            def fresh_q(Qh=Qh):
+                qsh = (nq - (i0 - 1) % nq) % nq
+                return pltpu.roll(Qh, shift=qsh, axis=1)[:, :QW]
 
-        qbuf = jax.lax.cond((i0 - 1) % QW == 0, fresh_q, lambda: qbuf)
-        # invariant: qbuf[:, u] == q[i0 - 1 + u] for u in [0, 8)
+            qbuf = jax.lax.cond((i0 - 1) % QW == 0, fresh_q, lambda: qbuf)
+            # invariant: qbuf[:, u] == q[i0 - 1 + u] for u in [0, 8)
+            sts.append((H, E, buf, qbuf, lo_prev,
+                        jnp.zeros((HS, W), dtype=jnp.int32)))
 
-        pack = jnp.zeros((P_TILE, W), dtype=jnp.int32)
         for u in range(8):
-            i = i0 + u
-            lo_i = lo_of(i)
-            s = lo_i - lo_prev                                   # (P_t, 1)
-            Hd = _sel_shift(H, s, -1, NEG)
-            # Hp[k] = H[k+s] = Hd[k+1] for k < W-1; lane W-1 is only
-            # reachable when s == 0
-            Hp = jnp.where(karr == W - 1,
-                           jnp.where(s == 0, H[:, W - 1:W], NEG),
-                           pltpu.roll(Hd, shift=W - 1, axis=1))
-            Ep = _sel_shift(E, s, 0, NEG)
-            buf = _sel_shift(buf, s, 0, 4)
-            if u == 0:
-                # restock the staged target chars every REFILL_BLOCKS
-                # blocks (consumes <= SMAX * 8 * REFILL_BLOCKS < STAGE
-                # between restocks)
-                buf = jax.lax.cond(b % REFILL_BLOCKS == 0,
-                                   lambda: refill(buf, lo_i), lambda: buf)
-            qc = qbuf[:, u:u + 1]                                # (P_t, 1)
-            tc = buf[:, :W]
-            sub = jnp.where((qc == 4) | (tc == 4), 0,
-                            jnp.where(qc == tc, match, mismatch))
+            for h in range(NH):
+                sts[h] = row_step(h, u, i0, b, sts[h])
 
-            jcol = lo_i + karr
-            En = jnp.maximum(Hp - oe, Ep - e)
-            eext = (Ep - e) > (Hp - oe)
-            diag = jnp.where(jcol >= 1, Hd + sub, NEG)
-            Ht = jnp.maximum(diag, En)
-            A = Ht + e * karr
-            d = 1
-            for _ in range(levels):
-                sh = pltpu.roll(A, shift=d, axis=1)
-                sh = jnp.where(karr >= d, sh, NEG)
-                A = jnp.maximum(A, sh)
-                d *= 2
-            F = jnp.where(karr >= 1,
-                          pltpu.roll(A, shift=1, axis=1) - oe - e * karr + e,
-                          NEG)
-            fprev = jnp.where(karr >= 1, pltpu.roll(F, shift=1, axis=1), NEG)
-            htprev = jnp.where(karr >= 1, pltpu.roll(Ht, shift=1, axis=1),
-                               NEG)
-            fext = (karr >= 1) & ((fprev - e) > (htprev - oe))
-            Hn = jnp.maximum(Ht, F)
-            src = jnp.where((diag >= En) & (diag >= F), 0,
-                            jnp.where(En >= F, 1, 2))
-            mv = (src | (eext.astype(jnp.int32) << 2) |
-                  (fext.astype(jnp.int32) << 3))
-
-            in_band = jcol <= tl
-            Hn = jnp.where(in_band, Hn, NEG)
-            En = jnp.where(in_band, En, NEG)
-            mv = jnp.where(in_band, mv, 0)
-
-            active = i <= ql
-            H = jnp.where(active, Hn, Hp)
-            E = jnp.where(active, En, Ep)
-
-            # nibble u of the block's move word — static shift, no select
-            if u == 0:
-                pack = mv
-            else:
-                pack = pack | (mv << (4 * u))
-            lo_prev = lo_i
-
-        # insert the finished word into the 8-word flush group
+        # insert the finished word(s) into the 8-word flush group
         slot = b % 8
-        sel = jax.lax.broadcasted_iota(jnp.int32, (P_TILE, 8, W), 1) == slot
-        grp = jnp.where(sel, pack[:, None, :], grp)
+        sel = jax.lax.broadcasted_iota(jnp.int32, (HS, 8, W), 1) == slot
+        out = []
+        grps = []
+        for h in range(NH):
+            H, E, buf, qbuf, lo_prev, pack = sts[h]
+            grp = jnp.where(sel, pack[:, None, :], carry[h][5])
+            grps.append(grp)
+            qbuf = pltpu.roll(qbuf, shift=QW - 8, axis=1)
+            out.append((H, E, buf, qbuf, lo_prev, grp))
 
         @pl.when(slot == 7)
         def _flush():
             # chunk-local word index: this chunk's out block covers
             # words [ci * RC8, (ci + 1) * RC8)
             base = pl.multiple_of(b - 7 - ci * RC8, 8)
-            mvp_ref[:, pl.ds(base, 8), :] = grp
+            mvp_ref[:, pl.ds(base, 8), :] = _cat(grps)
 
-        qbuf = pltpu.roll(qbuf, shift=QW - 8, axis=1)
-        return H, E, buf, qbuf, lo_prev, grp
+        return tuple(out)
 
     # dynamic trip count: pairs are packed into tiles sorted by length,
     # so the tile's longest query bounds the rows that can change state
     # (rows beyond ql freeze H/E and lo_of saturates at ql).  Rounded up
     # to whole 8-word flush groups so the last group still flushes.
-    nb = jnp.minimum((jnp.max(ql) + 7) // 8, nq // 8)
+    nb = jnp.minimum((jnp.max(ql_t) + 7) // 8, nq // 8)
     nb8 = ((nb + 7) // 8) * 8
     # this chunk's share of the blocks (RC8 is a multiple of 8, so flush
     # groups never straddle chunks)
     b_st = ci * RC8
     b_en = jnp.clip(nb8, b_st, b_st + RC8)
-    H, E, buf, qbuf, lof = (H_s[:], E_s[:], buf_s[:], qbuf_s[:], lo_s[:])
-    Hf, Ef, buff, qbuff, lof, _grp = jax.lax.fori_loop(
-        b_st, b_en, block, (H, E, buf, qbuf, lof, grp0))
-    H_s[:], E_s[:], buf_s[:], qbuf_s[:], lo_s[:] = Hf, Ef, buff, qbuff, lof
+    H0, E0, buf0, qbuf0, lo0 = (H_s[:], E_s[:], buf_s[:], qbuf_s[:], lo_s[:])
+    grp0 = jnp.zeros((HS, 8, W), dtype=jnp.int32)
+    carry0 = tuple(
+        (H0[h * HS:(h + 1) * HS], E0[h * HS:(h + 1) * HS],
+         buf0[h * HS:(h + 1) * HS], qbuf0[h * HS:(h + 1) * HS],
+         lo0[h * HS:(h + 1) * HS], grp0)
+        for h in range(NH))
+    fin = jax.lax.fori_loop(b_st, b_en, block, carry0)
+    Hf = _cat([fin[h][0] for h in range(NH)])
+    lof = _cat([fin[h][4] for h in range(NH)])
+    H_s[:], E_s[:] = Hf, _cat([fin[h][1] for h in range(NH)])
+    buf_s[:] = _cat([fin[h][2] for h in range(NH)])
+    qbuf_s[:] = _cat([fin[h][3] for h in range(NH)])
+    lo_s[:] = lof
 
     @pl.when(ci == NC - 1)
     def _final():
         mx = jnp.max(Hf, axis=1, keepdims=True)
         score_ref[:] = mx
         # argmax (smallest k on ties); Mosaic's argmax only supports f32
-        k_end = jnp.min(jnp.where(Hf == mx, karr, W), axis=1, keepdims=True)
+        k_end = jnp.min(jnp.where(Hf == mx, karr_t, W), axis=1,
+                        keepdims=True)
         jend_ref[:] = lof + k_end
 
 
 @functools.partial(jax.jit, static_argnames=(
     "band", "match", "mismatch", "gap_open", "gap_ext", "interpret",
-    "p_tile"))
+    "p_tile", "nh"))
 def banded_fwd_pallas_packed(queries, targets, q_lens, t_lens,
                              band: int = 128, match: int = 5,
                              mismatch: int = -4, gap_open: int = 4,
                              gap_ext: int = 2, interpret: bool = False,
-                             p_tile: int = P_TILE):
+                             p_tile: int = P_TILE, nh: int = 1):
     """Forward pass: returns (scores (P,), j_end (P,),
     packed moves (P, nq_pad/8, W) int32 — row i's move byte is nibble
-    (i-1) % 8 of word (i-1)//8)."""
+    (i-1) % 8 of word (i-1)//8).
+
+    ``nh``: number of independent interleaved DP states per tile
+    (software pipelining of the serial dependency chain); each state
+    must keep whole (8, 128) sublanes, so p_tile % (8 * nh) == 0."""
     P, nq = queries.shape
     _, nt = targets.shape
     W = band
@@ -292,10 +335,12 @@ def banded_fwd_pallas_packed(queries, targets, q_lens, t_lens,
 
     RC8 = RCHUNK // 8
     NC = nq // RCHUNK
+    if P_TILE % (8 * nh):
+        raise ValueError(f"p_tile {P_TILE} not divisible by 8*nh ({8 * nh})")
     kernel = functools.partial(
         _kernel, match=match, mismatch=mismatch, gap_open=gap_open,
         gap_ext=gap_ext, W=W, nq=nq, nt=nt, levels=levels, P_TILE=P_TILE,
-        RC8=RC8, NC=NC)
+        RC8=RC8, NC=NC, NH=nh)
     ql = q_lens.astype(jnp.int32).reshape(P, 1)
     tl = t_lens.astype(jnp.int32).reshape(P, 1)
     nP = P // P_TILE
@@ -341,13 +386,13 @@ def banded_fwd_pallas_packed(queries, targets, q_lens, t_lens,
 def banded_fwd_pallas(queries, targets, q_lens, t_lens, band: int = 128,
                       match: int = 5, mismatch: int = -4, gap_open: int = 4,
                       gap_ext: int = 2, interpret: bool = False,
-                      p_tile: int = P_TILE):
+                      p_tile: int = P_TILE, nh: int = 1):
     """Compatibility wrapper: unpacked (P, nq, W) uint8 moves (tests)."""
     P, nq = queries.shape
     score, jend, mvp = banded_fwd_pallas_packed(
         queries, targets, q_lens, t_lens, band=band, match=match,
         mismatch=mismatch, gap_open=gap_open, gap_ext=gap_ext,
-        interpret=interpret, p_tile=p_tile)
+        interpret=interpret, p_tile=p_tile, nh=nh)
     nq8 = mvp.shape[1]
     rows = []
     for nib in range(8):
@@ -358,12 +403,12 @@ def banded_fwd_pallas(queries, targets, q_lens, t_lens, band: int = 128,
 
 @functools.partial(jax.jit, static_argnames=(
     "band", "match", "mismatch", "gap_open", "gap_ext", "interpret",
-    "p_tile"))
+    "p_tile", "nh"))
 def banded_align_trace_pallas(queries, targets, q_lens, t_lens,
                               band: int = 128, match: int = 5,
                               mismatch: int = -4, gap_open: int = 4,
                               gap_ext: int = 2, interpret: bool = False,
-                              p_tile: int = P_TILE):
+                              p_tile: int = P_TILE, nh: int = 1):
     """Pallas forward + the reverse-walk scan on packed move words.
 
     Same contract as kernels.banded.banded_align_trace_batch:
@@ -373,21 +418,21 @@ def banded_align_trace_pallas(queries, targets, q_lens, t_lens,
     scores, j_end, mvp = banded_fwd_pallas_packed(
         queries, targets, q_lens, t_lens, band=band, match=match,
         mismatch=mismatch, gap_open=gap_open, gap_ext=gap_ext,
-        interpret=interpret, p_tile=p_tile)
+        interpret=interpret, p_tile=p_tile, nh=nh)
     j_f, i_f, ops = walk_ops_packed(mvp, q_lens, t_lens, j_end, band)
     return scores, j_end, j_f, i_f, ops
 
 
 @functools.partial(jax.jit, static_argnames=(
     "band", "match", "mismatch", "gap_open", "gap_ext", "interpret",
-    "p_tile", "shrink"))
+    "p_tile", "shrink", "nh"))
 def banded_align_trace_pallas_cached(queries, targets, q_lens, t_lens,
                                      band: int = 128, match: int = 5,
                                      mismatch: int = -4, gap_open: int = 4,
                                      gap_ext: int = 2,
                                      interpret: bool = False,
                                      p_tile: int = P_TILE,
-                                     shrink: int = 5):
+                                     shrink: int = 5, nh: int = 1):
     """Pallas forward + the word-cached walk (kernels.banded
     walk_ops_cached).  Returns (scores, j_end, j_start, i_rem,
     packed_ops) — ops are 2-bit packed with gaps; consume with
@@ -397,7 +442,7 @@ def banded_align_trace_pallas_cached(queries, targets, q_lens, t_lens,
     scores, j_end, mvp = banded_fwd_pallas_packed(
         queries, targets, q_lens, t_lens, band=band, match=match,
         mismatch=mismatch, gap_open=gap_open, gap_ext=gap_ext,
-        interpret=interpret, p_tile=p_tile)
+        interpret=interpret, p_tile=p_tile, nh=nh)
     j_f, i_f, ops = walk_ops_cached(mvp, q_lens, t_lens, j_end, band,
                                     shrink=shrink)
     return scores, j_end, j_f, i_f, ops

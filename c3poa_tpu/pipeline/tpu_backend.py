@@ -166,9 +166,15 @@ def _align_trace_impl(Q, T, ql, tl, *, band, match, mismatch, gap_open,
         # measured 17.4 MB > the 16 MB scoped VMEM limit at 6144.
         pt = int(os.environ.get("C3POA_ALIGN_PTILE",
                                 "64" if Q.shape[1] <= 4096 else "32"))
+        # C3POA_ALIGN_PIPE=2 interleaves two independent DP half-states
+        # per tile (software pipelining of the row dependency chain);
+        # off by default pending an on-hardware end-to-end A/B.
+        nh = int(os.environ.get("C3POA_ALIGN_PIPE", "1"))
+        if pt % (8 * nh):
+            nh = 1
         return banded_align_trace_pallas_cached(
             Q, T, ql, tl, band=band, match=match, mismatch=mismatch,
-            gap_open=gap_open, gap_ext=gap_ext, p_tile=pt), True
+            gap_open=gap_open, gap_ext=gap_ext, p_tile=pt, nh=nh), True
     return banded_align_trace_batch(
         Q, T, ql, tl, band=band, match=match, mismatch=mismatch,
         gap_open=gap_open, gap_ext=gap_ext), False

@@ -118,6 +118,55 @@ def bench_align(shapes=((512, 2048, 128), (2048, 2048, 128))):
                   f"speedup {t_x / t_p:4.1f}x", flush=True)
 
 
+def bench_align_pipe(shapes=((512, 2048, 128), (2048, 2048, 128)),
+                     p_tiles=(32, 64), reps=7):
+    """Interleaved A/B of nh=1 vs nh=2 (software-pipelined dual DP
+    states, C3POA_ALIGN_PIPE).  Per-arm calls alternate within one
+    process — the only trustworthy comparison on this box (program-level
+    variance through the relay is +-30-80% across processes)."""
+    import jax
+    import jax.numpy as jnp
+
+    from c3poa_tpu.kernels.pallas_banded import banded_fwd_pallas_packed
+
+    rng = np.random.default_rng(1)
+    for P, nq, W in shapes:
+        nt = nq
+
+        def mk():
+            q = rng.integers(0, 4, size=(P, nq)).astype(np.int8)
+            ql = np.sort(rng.integers(nq // 3, nq + 1, P)
+                         .astype(np.int32))[::-1].copy()
+            return q, q.copy(), ql, ql.copy()
+
+        for pt in p_tiles:
+            arms = {}
+            for nh in (1, 2):
+                arms[nh] = jax.jit(lambda q, t, ql, tl, nh=nh, pt=pt: (
+                    lambda s, j, mv: (s, j, jnp.max(mv)))(
+                    *banded_fwd_pallas_packed(q, t, ql, tl, band=W,
+                                              p_tile=pt, nh=nh)))
+            a = mk()
+            outs = {nh: [np.asarray(v) for v in fn(*a)]
+                    for nh, fn in arms.items()}
+            assert np.array_equal(outs[1][0], outs[2][0]), "score mismatch"
+            times = {1: [], 2: []}
+            for _ in range(reps):
+                for nh in (1, 2):
+                    args = mk()
+                    t0 = time.perf_counter()
+                    for o in arms[nh](*args):
+                        np.asarray(o)
+                    times[nh].append(time.perf_counter() - t0)
+            med = {nh: sorted(ts)[len(ts) // 2] for nh, ts in times.items()}
+            cells = int(mk()[2].astype(np.int64).sum()) * W
+            print(f"align-pipe P={P} nq={nq} W={W} p_tile={pt}: "
+                  f"nh=1 {med[1] * 1e3:7.1f} ms ({cells / med[1] / 1e9:5.2f}"
+                  f" G c/s)  nh=2 {med[2] * 1e3:7.1f} ms "
+                  f"({cells / med[2] / 1e9:5.2f} G c/s)  "
+                  f"speedup {med[1] / med[2]:5.2f}x", flush=True)
+
+
 if __name__ == "__main__":
     what = sys.argv[1] if len(sys.argv) > 1 else "all"
     import jax
@@ -126,3 +175,5 @@ if __name__ == "__main__":
         bench_profile()
     if what in ("align", "all"):
         bench_align()
+    if what == "pipe":
+        bench_align_pipe()
