@@ -98,11 +98,45 @@ def cpu_proxy_baseline(d: str) -> dict:
     return cached
 
 
+def wait_for_accelerator() -> None:
+    """The relayed TPU on this box can be DOWN, in which case jax device
+    init hangs forever instead of erroring.  Probe it in a subprocess
+    under a timeout (import + devices + one materialized computation),
+    retrying up to BENCH_RELAY_WAIT seconds, so the bench either runs on
+    a live chip or fails fast with a clear message — never hangs the
+    driver.  A cpu-platform probe result (no accelerator configured at
+    all) passes through: the bench then measures the jax CPU backend."""
+    import subprocess
+    deadline = time.time() + float(os.environ.get("BENCH_RELAY_WAIT", "900"))
+    probe = ("import jax; d = jax.devices(); "
+             "jax.numpy.ones(8).sum().item(); "
+             "print('PLATFORM=' + d[0].platform)")
+    while True:
+        try:
+            r = subprocess.run([sys.executable, "-c", probe],
+                               capture_output=True, timeout=120, text=True)
+            if r.returncode == 0 and "PLATFORM=" in r.stdout:
+                plat = r.stdout.rsplit("PLATFORM=", 1)[1].strip()
+                print(f"# accelerator probe ok: {plat}", file=sys.stderr)
+                return
+            err = (r.stderr or "").strip().splitlines()
+            msg = err[-1] if err else f"exit {r.returncode}"
+        except subprocess.TimeoutExpired:
+            msg = "device init timed out (relay down?)"
+        if time.time() > deadline:
+            raise RuntimeError(
+                f"accelerator unreachable after BENCH_RELAY_WAIT: {msg}")
+        print(f"# accelerator probe failed ({msg}); retrying in 30s",
+              file=sys.stderr)
+        time.sleep(30)
+
+
 def main():
     # 2048 reads in four 512-read groups: the 3-stage pipeline (locate
     # g+2 / align g+1 / finalize g) reaches steady state from group 3,
     # the shape long production runs spend all their time in
     n_reads = int(os.environ.get("BENCH_READS", "2048"))
+    wait_for_accelerator()
 
     with tempfile.TemporaryDirectory() as d:
         from c3poa_tpu.pipeline.backend import NumpyBackend
