@@ -272,9 +272,10 @@ def walk_ops_packed(mvp: jax.Array, q_lens: jax.Array, t_lens: jax.Array,
     return j_f, i_f, ops
 
 
-@partial(jax.jit, static_argnames=("band", "shrink"))
+@partial(jax.jit, static_argnames=("band", "shrink", "wide"))
 def walk_ops_cached(mvp: jax.Array, q_lens: jax.Array, t_lens: jax.Array,
-                    j_end: jax.Array, band: int, shrink: int = 5):
+                    j_end: jax.Array, band: int, shrink: int = 5,
+                    wide: bool = False):
     """Word-cached reverse walk over nibble-packed move words.
 
     The plain walk (walk_ops_packed) is latency-bound: one dependent
@@ -292,13 +293,24 @@ def walk_ops_cached(mvp: jax.Array, q_lens: jax.Array, t_lens: jax.Array,
     gathers; pairs that exhaust it finish with ``i_rem > 0`` and the
     caller realigns them on the host, exactly like pathological paths
     under the plain walk.  Returns (j_start, i_rem, packed_ops
-    (P, n_iters*2) uint8)."""
+    (P, n_iters*2) uint8).
+
+    ``wide``: also cache word-row m_c - 1 (a (P, 6) gather — columns
+    k_c +- 1 of both word rows) and run 16 substeps per gather: i only
+    decreases, so a path leaving word m_c enters m_c - 1 and keeps
+    hitting.  Halves the serial gather chain, but hits/gather cap
+    below 2x — over 16 substeps, paths drift past the +-1 column
+    window and can cross into word m_c - 2 — so pair with a ~1.4x
+    shrink (callers use shrink+2), which still completes every pair
+    at 12%-error nanopore rates.  Output bytes per iteration double
+    (same flat 2-bit stream to consumers)."""
     P, nq8, W = mvp.shape
     nq_max = nq8 * 8
     q_lens = q_lens.astype(jnp.int32)
     t_lens = t_lens.astype(jnp.int32)
     mvp_flat = mvp.reshape(P, nq8 * W)
     lo_of = band_lo_fn(q_lens, t_lens, W)
+    nsub = 16 if wide else 8
 
     def substep(carry, w3, m_c, k_c):
         i, j, st = carry
@@ -306,9 +318,18 @@ def walk_ops_cached(mvp: jax.Array, q_lens: jax.Array, t_lens: jax.Array,
         im1 = jnp.clip(i - 1, 0, nq_max - 1)
         k = jnp.clip(j - lo_of(i), 0, W - 1)
         d = k - k_c
-        hit = active & (im1 // 8 == m_c) & (jnp.abs(d) <= 1)
-        word = jnp.where(d == -1, w3[:, 0],
-                         jnp.where(d == 0, w3[:, 1], w3[:, 2]))
+        m = im1 // 8
+        if wide:
+            hit = active & ((m == m_c) | (m == m_c - 1)) & (jnp.abs(d) <= 1)
+            w_r0 = jnp.where(d == -1, w3[:, 0],
+                             jnp.where(d == 0, w3[:, 1], w3[:, 2]))
+            w_r1 = jnp.where(d == -1, w3[:, 3],
+                             jnp.where(d == 0, w3[:, 4], w3[:, 5]))
+            word = jnp.where(m == m_c, w_r0, w_r1)
+        else:
+            hit = active & (m == m_c) & (jnp.abs(d) <= 1)
+            word = jnp.where(d == -1, w3[:, 0],
+                             jnp.where(d == 0, w3[:, 1], w3[:, 2]))
         mv = (word >> (4 * (im1 % 8))) & 0xF
         src = mv & 3
         is_e = (st == 1) | ((st == 0) & (src == 1))
@@ -334,22 +355,33 @@ def walk_ops_cached(mvp: jax.Array, q_lens: jax.Array, t_lens: jax.Array,
         k_c = jnp.clip(j - lo_of(i), 0, W - 1)
         cols = jnp.stack([jnp.maximum(k_c - 1, 0), k_c,
                           jnp.minimum(k_c + 1, W - 1)], axis=1)   # (P, 3)
-        w3 = jnp.take_along_axis(mvp_flat, m_c[:, None] * W + cols, axis=1)
-        b0 = jnp.zeros(i.shape, dtype=jnp.int32)
-        b1 = jnp.zeros(i.shape, dtype=jnp.int32)
-        for s in range(8):
+        idx = m_c[:, None] * W + cols
+        if wide:
+            idx = jnp.concatenate(
+                [idx, jnp.maximum(m_c - 1, 0)[:, None] * W + cols], axis=1)
+        w3 = jnp.take_along_axis(mvp_flat, idx, axis=1)
+        # One int32 accumulator for ALL substeps (2 bits each, <= 32
+        # bits): XLA:CPU compile time explodes superlinearly in the
+        # NUMBER of stacked per-iteration scan outputs (4 uint8 words
+        # hang the compiler; the same ops in wider words are fine), so
+        # emit a single word and byte-slice after the scan.
+        acc = jnp.zeros(i.shape, dtype=jnp.int32)
+        for s in range(nsub):
             carry, op = substep(carry, w3, m_c, k_c)
-            if s < 4:
-                b0 = b0 | (op << (2 * s))
-            else:
-                b1 = b1 | (op << (2 * (s - 4)))
-        return carry, jnp.stack([b0, b1], axis=1).astype(jnp.uint8)
+            acc = acc | (op << (2 * s))
+        return carry, acc
 
     n_iters = -(-(nq_max + band + 64) // shrink)
     init = (q_lens, j_end.astype(jnp.int32), jnp.zeros(P, dtype=jnp.int32))
-    (i_f, j_f, _st), opsb = jax.lax.scan(iteration, init, None,
+    (i_f, j_f, _st), opsw = jax.lax.scan(iteration, init, None,
                                          length=n_iters)
-    ops = jnp.transpose(opsb, (1, 0, 2)).reshape(P, n_iters * 2)
+    # (n_iters, P) int32 -> (P, n_iters * nsub//4) uint8, byte b of each
+    # word holding ops 4b..4b+3 — the same flat little-endian 2-bit
+    # stream the consumers always read.
+    opsw = jnp.transpose(opsw, (1, 0))
+    bytes_ = [(opsw >> (8 * b)) & 0xFF for b in range(nsub // 4)]
+    ops = jnp.stack(bytes_, axis=2).reshape(
+        P, n_iters * (nsub // 4)).astype(jnp.uint8)
     return j_f, i_f, ops
 
 

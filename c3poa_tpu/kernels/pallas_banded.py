@@ -425,14 +425,15 @@ def banded_align_trace_pallas(queries, targets, q_lens, t_lens,
 
 @functools.partial(jax.jit, static_argnames=(
     "band", "match", "mismatch", "gap_open", "gap_ext", "interpret",
-    "p_tile", "shrink", "nh"))
+    "p_tile", "shrink", "nh", "wide_walk"))
 def banded_align_trace_pallas_cached(queries, targets, q_lens, t_lens,
                                      band: int = 128, match: int = 5,
                                      mismatch: int = -4, gap_open: int = 4,
                                      gap_ext: int = 2,
                                      interpret: bool = False,
                                      p_tile: int = P_TILE,
-                                     shrink: int = 5, nh: int = 1):
+                                     shrink: int = 5, nh: int = 1,
+                                     wide_walk: bool = False):
     """Pallas forward + the word-cached walk (kernels.banded
     walk_ops_cached).  Returns (scores, j_end, j_start, i_rem,
     packed_ops) — ops are 2-bit packed with gaps; consume with
@@ -443,6 +444,11 @@ def banded_align_trace_pallas_cached(queries, targets, q_lens, t_lens,
         queries, targets, q_lens, t_lens, band=band, match=match,
         mismatch=mismatch, gap_open=gap_open, gap_ext=gap_ext,
         interpret=interpret, p_tile=p_tile, nh=nh)
-    j_f, i_f, ops = walk_ops_cached(mvp, q_lens, t_lens, j_end, band,
-                                    shrink=shrink)
+    # wide halves the serial gather chain per substep, but hits/gather
+    # cap below 2x (column drift + word-row crossings over 16 substeps):
+    # shrink+2 keeps every pair completing at nanopore error rates
+    # (12% arms in tests) while still cutting iterations ~1.4x.
+    j_f, i_f, ops = walk_ops_cached(
+        mvp, q_lens, t_lens, j_end, band,
+        shrink=shrink + 2 if wide_walk else shrink, wide=wide_walk)
     return scores, j_end, j_f, i_f, ops

@@ -168,13 +168,17 @@ def _align_trace_impl(Q, T, ql, tl, *, band, match, mismatch, gap_open,
                                 "64" if Q.shape[1] <= 4096 else "32"))
         # C3POA_ALIGN_PIPE=2 interleaves two independent DP half-states
         # per tile (software pipelining of the row dependency chain);
-        # off by default pending an on-hardware end-to-end A/B.
+        # C3POA_WALK_WIDE=1 runs the two-word-row walk cache (half the
+        # serial gathers).  Both off by default pending on-hardware
+        # end-to-end A/Bs.
         nh = int(os.environ.get("C3POA_ALIGN_PIPE", "1"))
         if pt % (8 * nh):
             nh = 1
+        wide = os.environ.get("C3POA_WALK_WIDE", "0") == "1"
         return banded_align_trace_pallas_cached(
             Q, T, ql, tl, band=band, match=match, mismatch=mismatch,
-            gap_open=gap_open, gap_ext=gap_ext, p_tile=pt, nh=nh), True
+            gap_open=gap_open, gap_ext=gap_ext, p_tile=pt, nh=nh,
+            wide_walk=wide), True
     return banded_align_trace_batch(
         Q, T, ql, tl, band=band, match=match, mismatch=mismatch,
         gap_open=gap_open, gap_ext=gap_ext), False

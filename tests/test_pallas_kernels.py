@@ -5,6 +5,9 @@ overhead on relayed TPU runtimes, so the pipeline uses the XLA versions by
 default (C3POA_USE_PALLAS=1 opts in).  Parity is enforced here either way.
 """
 
+import functools
+
+import jax
 import numpy as np
 import pytest
 
@@ -105,6 +108,53 @@ def test_pallas_trace_matches_xla_trace(p_tile):
     n = min(o1.shape[1], o2.shape[1])
     np.testing.assert_array_equal(o1[:, :n], o2[:, :n])
     assert not o1[:, n:].any() and not o2[:, n:].any()
+
+
+def test_wide_walk_matches_plain_walk():
+    """The two-word-row walk cache (wide=True, 16 substeps/gather)
+    degaps to the plain walk's op stream and completes every pair at
+    its shrink+2 budget on nanopore-grade error rates."""
+    from c3poa_tpu.kernels.banded import (
+        banded_align_trace_batch, unpack_ops_packed, walk_ops_cached)
+    from c3poa_tpu.kernels.pallas_banded import banded_fwd_pallas_packed
+
+    rng = np.random.default_rng(17)
+    P, nq, nt, W = 8, 256, 256, 64
+    Q = np.full((P, nq), 4, np.int8)
+    T = np.full((P, nt), 4, np.int8)
+    ql = np.zeros(P, np.int32)
+    tl = np.zeros(P, np.int32)
+    for p in range(P):
+        n = int(rng.integers(150, nt))
+        t = sim.random_seq(rng, n)
+        err = 0.05 if p % 2 == 0 else 0.12  # incl. a high-error arm
+        q = sim.mutate(rng, t, err, err * 0.6, err * 0.6)[:nq]
+        T[p, :len(t)] = encode(t)
+        tl[p] = len(t)
+        Q[p, :len(q)] = encode(q)
+        ql[p] = len(q)
+    s1, je1, js1, ir1, ops1 = banded_align_trace_batch(Q, T, ql, tl, band=W)
+    # jit the forward: an eager interpret-mode pallas_call dispatches the
+    # kernel body op-by-op and takes minutes even at these toy shapes
+    fwd = jax.jit(functools.partial(banded_fwd_pallas_packed, band=W,
+                                    interpret=True))
+    _s, je2, mvp = fwd(Q, T, ql, tl)
+    np.testing.assert_array_equal(np.asarray(je1), np.asarray(je2))
+    jw, iw, opsw = walk_ops_cached(mvp, ql, tl, je2, W, shrink=7,
+                                   wide=True)
+    np.testing.assert_array_equal(np.asarray(ir1), 0)
+    iw = np.asarray(iw)
+    o1, ow = np.asarray(ops1), np.asarray(opsw)
+    done = 0
+    for p in range(P):
+        if iw[p] != 0:
+            continue  # budget-exhausted pairs go to the host realigner
+        done += 1
+        dense = o1[p][o1[p] != 0]
+        degap = unpack_ops_packed(ow[p])
+        np.testing.assert_array_equal(dense, degap, err_msg=f"pair {p}")
+        assert np.asarray(jw)[p] == np.asarray(js1)[p]
+    assert done == P, f"only {done}/{P} pairs finished in budget"
 
 
 def test_cached_walk_matches_plain_walk():
