@@ -67,6 +67,14 @@ def parse_args(argv=None):
     parser.add_argument("--backend", type=str, default="auto",
                         choices=["auto", "tpu", "numpy"],
                         help="Compute backend (default: auto).")
+    parser.add_argument("--mesh_devices", type=str, default="auto",
+                        help="Accelerator chips to use in THIS process: "
+                             "'auto' (all local chips), '1' (single "
+                             "device), or an explicit count.  >1 shards "
+                             "every kernel batch over a 1-D data mesh "
+                             "via shard_map (single-host multi-chip; "
+                             "combine with --num_processes for "
+                             "multi-host).")
     parser.add_argument("--coordinator", type=str, default=None,
                         help="Multi-host: coordinator address "
                              "(host:port) for jax.distributed.")
@@ -85,7 +93,7 @@ def parse_args(argv=None):
     return parser.parse_args(argv)
 
 
-def pick_backend(name: str):
+def pick_backend(name: str, mesh_devices: str = "1"):
     import os
     if os.environ.get("C3POA_FORCE_CPU") == "1":
         # pin the CPU platform (sitecustomize on some hosts preregisters
@@ -100,7 +108,7 @@ def pick_backend(name: str):
     if name in ("tpu", "auto"):
         try:
             from .pipeline.tpu_backend import TpuBackend
-            return TpuBackend()
+            return TpuBackend(mesh=_local_mesh(mesh_devices))
         except Exception as exc:  # no jax / no device
             if name == "tpu":
                 raise
@@ -109,6 +117,28 @@ def pick_backend(name: str):
             from .pipeline.backend import NumpyBackend
             return NumpyBackend()
     raise ValueError(name)
+
+
+def _local_mesh(mesh_devices: str = "auto"):
+    """1-D data mesh over this process's local accelerator devices, or
+    None for the plain single-device jit path.  'auto' uses every local
+    chip — a v5e-8 host saturates all 8 chips from one process, no
+    jax.distributed needed."""
+    if mesh_devices in ("off", "0", "1"):
+        return None
+    import jax
+
+    local = jax.local_devices()
+    n = len(local) if mesh_devices == "auto" else int(mesh_devices)
+    if n <= 1:
+        return None
+    if n > len(local):
+        raise ValueError(
+            f"--mesh_devices {n}: only {len(local)} local devices")
+    import numpy as np
+    from jax.sharding import Mesh
+
+    return Mesh(np.asarray(local[:n]), ("data",))
 
 
 def main(argv=None):
@@ -143,7 +173,13 @@ def main(argv=None):
         process_count=process_count,
         cons=ConsensusParams(),
     )
-    backend = pick_backend(args.backend)
+    # 'auto' meshes all local chips only in single-process runs; under
+    # --num_processes, pass an explicit --mesh_devices count to shard
+    # each process's groups over its own local chips too
+    mesh_devices = args.mesh_devices
+    if process_count > 1 and mesh_devices == "auto":
+        mesh_devices = "1"
+    backend = pick_backend(args.backend, mesh_devices)
     try:
         stats = run_pipeline(args.reads, args.splint_file, args.out_path,
                              cfg, backend)

@@ -235,3 +235,29 @@ def test_pipeline_gzip_input(tmp_path):
         assert ref_txt
         for out in outs[1:]:
             assert open(os.path.join(out, "Splint1", kind)).read() == ref_txt
+
+
+def test_cli_mesh_devices_auto(tmp_path):
+    """--backend tpu --mesh_devices auto shards every kernel batch over
+    all local devices (the 8-device virtual CPU mesh here; a v5e-8 host
+    in production) from a single process, byte-identical to numpy."""
+    from c3poa_tpu import cli, sim
+
+    reads, splints = sim.make_dataset(n_reads=10, seed=21,
+                                      insert_len=(300, 500), copies=(2, 5))
+    sim.write_fastq(str(tmp_path / "r.fastq"), reads)
+    sim.write_fasta(str(tmp_path / "s.fasta"), splints)
+    base = ["-r", str(tmp_path / "r.fastq"), "-s", str(tmp_path / "s.fasta"),
+            "-l", "500", "-g", "7"]  # group of 7: pads to the 8-mesh
+    cli.main(base + ["-o", str(tmp_path / "om"), "--backend", "tpu",
+                     "--mesh_devices", "auto"])
+    cli.main(base + ["-o", str(tmp_path / "on"), "--backend", "numpy"])
+    for f in ("R2C2_Consensus.fasta", "R2C2_Subreads.fastq"):
+        a = open(tmp_path / "om" / "Splint1" / f, "rb").read()
+        b = open(tmp_path / "on" / "Splint1" / f, "rb").read()
+        assert a == b, f
+
+    import c3poa_tpu.cli as climod
+    assert climod._local_mesh("1") is None
+    assert climod._local_mesh("auto").devices.size == 8
+    assert climod._local_mesh("4").devices.size == 4
