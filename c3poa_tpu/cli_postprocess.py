@@ -50,6 +50,9 @@ def parse_args(argv=None):
                         default=False, help="gzip the output fastas.")
     parser.add_argument("--backend", type=str, default="auto",
                         choices=["auto", "tpu", "numpy"])
+    parser.add_argument("--mesh_devices", type=str, default="auto",
+                        help="Accelerator chips for this process: 'auto' "
+                             "(all local), '1', or a count (see cli).")
     parser.add_argument("--version", "-v", action="version", version=VERSION)
 
     if argv is None and len(sys.argv) == 1:
@@ -68,7 +71,7 @@ def main(argv=None):
         print("Error: undirectional and barcoded are mutually exclusive.")
         sys.exit(1)
     from .cli import pick_backend
-    backend = pick_backend(args.backend)
+    backend = pick_backend(args.backend, args.mesh_devices)
     cfg = PostprocessConfig(
         undirectional=args.undirectional, trim=args.trim,
         barcoded=args.barcoded, group_size=args.groupSize,

@@ -262,6 +262,24 @@ class TpuBackend:
             self._sharded_fns[key] = (jax.jit(fn), _pallas_align_on())
         return self._sharded_fns[key]
 
+    def _sharded_adapters(self, match, mismatch, gap):
+        """adapter_hits_batch shard_mapped over the read batch with the
+        adapter reference replicated (postprocess role)."""
+        key = ("adapters", match, mismatch, gap)
+        if key not in self._sharded_fns:
+            import jax
+            from jax.sharding import PartitionSpec as P
+
+            from ..kernels.adapters import adapter_hits_batch
+            fn = _shard_map(
+                lambda r, a, al: adapter_hits_batch(
+                    r, a, al, match=match, mismatch=mismatch, gap=gap),
+                self.mesh,
+                (P("data", None), P(None, None), P(None)),
+                tuple(P("data", None) for _ in range(6)))
+            self._sharded_fns[key] = jax.jit(fn)
+        return self._sharded_fns[key]
+
     # ---------------- locate ----------------
 
     def _splint_array(self, combos) -> np.ndarray:
@@ -388,7 +406,7 @@ class TpuBackend:
                 for k in range(6):
                     outs[k][i] = host_res[k][r]
         for L, idxs in sorted(by_bucket.items()):
-            P = _batch_size(len(idxs), LOCATE_BUDGET // (C * L))
+            P = self._round_batch(_batch_size(len(idxs), LOCATE_BUDGET // (C * L)))
             for start in range(0, len(idxs), P):
                 chunk = idxs[start:start + P]
                 R = np.full((P, L), 4, dtype=np.int8)
@@ -396,8 +414,11 @@ class TpuBackend:
                     codes = reads[i][:L]
                     R[r, :len(codes)] = codes
                 mt, mm, gp = NumpyBackend.ADAPTER_SCORING
-                res = adapter_hits_batch(R, A, alens, match=mt, mismatch=mm,
-                                         gap=gp)
+                if self.mesh is not None:
+                    res = self._sharded_adapters(mt, mm, gp)(R, A, alens)
+                else:
+                    res = adapter_hits_batch(R, A, alens, match=mt,
+                                             mismatch=mm, gap=gp)
                 res = [np.asarray(x) for x in res]
                 for r, i in enumerate(chunk):
                     for k in range(6):

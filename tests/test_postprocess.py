@@ -382,3 +382,24 @@ def test_postprocess_compress_output(tmp_path):
             assert not os.path.exists(os.path.join(out_gz, rel))
             n_checked += 1
     assert n_checked >= 3
+
+
+def test_postprocess_mesh_matches_serial(tmp_path):
+    """TpuBackend(mesh=8-device) adapter scan is byte-identical to the
+    numpy postprocess run (--mesh_devices on the postprocess CLI)."""
+    from c3poa_tpu.cli import _local_mesh
+    from c3poa_tpu.pipeline.tpu_backend import TpuBackend
+
+    _make_post_inputs(tmp_path)
+    out_n, out_m = str(tmp_path / "on"), str(tmp_path / "om")
+    sn = run_postprocess(str(tmp_path / "cons.fasta"), out_n,
+                         str(tmp_path / "adapters.fasta"),
+                         str(tmp_path / "indexes.fasta"),
+                         PostprocessConfig(trim=True, group_size=7))
+    sm = run_postprocess(str(tmp_path / "cons.fasta"), out_m,
+                         str(tmp_path / "adapters.fasta"),
+                         str(tmp_path / "indexes.fasta"),
+                         PostprocessConfig(trim=True, group_size=7),
+                         backend=TpuBackend(mesh=_local_mesh("auto")))
+    assert sn == sm
+    assert _tree_bytes(out_n) == _tree_bytes(out_m)
