@@ -106,6 +106,16 @@ def pick_backend(name: str, mesh_devices: str = "1"):
         from .pipeline.backend import NumpyBackend
         return NumpyBackend()
     if name in ("tpu", "auto"):
+        if name == "auto" and os.environ.get("C3POA_FORCE_CPU") != "1":
+            # a dead TPU relay makes device init HANG (not error): probe
+            # in a subprocess so auto degrades to numpy instead of
+            # wedging; explicit --backend tpu skips this and waits
+            from .utils.probe import probe_accelerator
+            if probe_accelerator() is None:
+                print("accelerator probe failed (relay down?); "
+                      "using numpy backend", file=sys.stderr)
+                from .pipeline.backend import NumpyBackend
+                return NumpyBackend()
         try:
             from .pipeline.tpu_backend import TpuBackend
             return TpuBackend(mesh=_local_mesh(mesh_devices))

@@ -261,3 +261,26 @@ def test_cli_mesh_devices_auto(tmp_path):
     assert climod._local_mesh("1") is None
     assert climod._local_mesh("auto").devices.size == 8
     assert climod._local_mesh("4").devices.size == 4
+
+
+def test_backend_auto_probe_fallback(tmp_path, monkeypatch, capsys):
+    """--backend auto degrades to numpy when the accelerator probe fails
+    (dead relay = device init hangs; the probe subprocess turns that
+    into a fallback instead of a wedge)."""
+    from c3poa_tpu.cli import pick_backend
+    from c3poa_tpu.pipeline.backend import NumpyBackend
+    from c3poa_tpu.utils.probe import probe_accelerator
+
+    # a live-cpu probe passes through to the jax backend
+    assert probe_accelerator() == "cpu"
+
+    # an unknown platform makes the probe subprocess error -> None
+    monkeypatch.setenv("JAX_PLATFORMS", "bogus_platform")
+    assert probe_accelerator() is None
+    backend = pick_backend("auto")
+    assert isinstance(backend, NumpyBackend)
+    assert "probe failed" in capsys.readouterr().err
+
+    # C3POA_SKIP_PROBE bypasses the subprocess entirely
+    monkeypatch.setenv("C3POA_SKIP_PROBE", "1")
+    assert probe_accelerator() == "skipped"
