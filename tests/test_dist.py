@@ -133,7 +133,10 @@ def test_two_process_deep_pipeline_matches_single(tmp_path):
     3-stage deep pipeline (backend auto -> TpuBackend on the CPU test
     env).  Guards the record-arena slot logic: under round-robin
     ownership a host preps CONSECUTIVE owned groups, so slots must be
-    counted per host, not by global group index."""
+    counted per host, not by global group index.  The 2-process arms
+    also mesh 2 local devices each (--mesh_devices 2): multi-host x
+    multi-chip combined, still byte-identical to 1 process x 1
+    device."""
     from c3poa_tpu import sim
 
     reads, splints = sim.make_dataset(
@@ -158,7 +161,8 @@ def test_two_process_deep_pipeline_matches_single(tmp_path):
     port = 21000 + os.getpid() % 10000
     procs = [subprocess.Popen(
         base + ["-o", out2, "--coordinator", f"localhost:{port}",
-                "--num_processes", "2", "--process_id", str(i)],
+                "--num_processes", "2", "--process_id", str(i),
+                "--mesh_devices", "2"],
         env=env) for i in range(2)]
     for p in procs:
         assert p.wait(timeout=900) == 0
