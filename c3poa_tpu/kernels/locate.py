@@ -38,7 +38,11 @@ def _profile_impl(reads, splints, lens=None):
             jax.default_backend() not in ("cpu",) and \
             B % 8 == 0 and L % 2048 == 0:
         from .pallas_profile import start_profile_pallas
-        return start_profile_pallas(reads, splints, lens)
+        # C3POA_PROFILE_PHASED=1: per-phase closure level counts (~20%
+        # fewer closure ops, bit-identical); off pending on-hardware A/B
+        return start_profile_pallas(
+            reads, splints, lens,
+            phased=os.environ.get("C3POA_PROFILE_PHASED", "0") == "1")
     return start_profile_batch(reads, splints)
 
 

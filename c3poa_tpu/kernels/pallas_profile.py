@@ -39,7 +39,7 @@ def _round_up(x, n):
 
 
 def _kernel(splints_ref, lens_ref, reads_ref, ext_ref, out_ref,
-            *, match, mismatch, gap, m, C, W, OV, levels, n_ltiles):
+            *, match, mismatch, gap, m, C, W, OV, segs, n_ltiles):
     lt = pl.program_id(1)
     is_last = lt == n_ltiles - 1
 
@@ -67,12 +67,15 @@ def _kernel(splints_ref, lens_ref, reads_ref, ext_ref, out_ref,
 
         lane = jax.lax.broadcasted_iota(jnp.int32, (B_TILE, W), 1)
 
-        def make_row(c):
+        is_pad = rd == 4
+        glane = gap * lane
+
+        def make_row(c, levels):
             def row(t, carry):
                 G_row, colmax = carry
                 i = m - 1 - t
                 sc = splints_ref[c * m + i]               # SMEM scalar
-                sub = jnp.where((sc == 4) | (rd == 4), 0,
+                sub = jnp.where((sc == 4) | is_pad, 0,
                                 jnp.where(rd == sc, match, mismatch))
                 # diag: G[i+1][j+1]; zero right boundary
                 shifted = pltpu.roll(G_row, shift=W - 1, axis=1)
@@ -81,29 +84,37 @@ def _kernel(splints_ref, lens_ref, reads_ref, ext_ref, out_ref,
                 up = G_row - gap
                 T = jnp.maximum(jnp.maximum(diag, up), 0)
                 # bounded-reach reverse running max (exact: reach >= horizon)
-                A = T - gap * lane
+                A = T - glane
                 d = 1
                 for _ in range(levels):
                     sh = pltpu.roll(A, shift=W - d, axis=1)
                     sh = jnp.where(lane < W - d, sh, NEG)
                     A = jnp.maximum(A, sh)
                     d *= 2
-                G_new = A + gap * lane
+                G_new = A + glane
                 return G_new, jnp.maximum(colmax, G_new)
             return row
 
         Z = jnp.zeros((B_TILE, W), dtype=jnp.int32)
         for c in range(C):
-            _G, colmax = jax.lax.fori_loop(0, m, make_row(c), (Z, Z))
+            carry = (Z, Z)
+            # segs: static (t_start, t_end, levels) phases — early rows
+            # have consumed few splint chars, so their score budget
+            # bounds the gap reach and needs fewer closure levels
+            for t0, t1, lv in segs:
+                carry = jax.lax.fori_loop(t0, t1, make_row(c, lv), carry)
+            _G, colmax = carry
             out_ref[:, c, :] = colmax[:, :TILE_L]
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("match", "mismatch", "gap", "interpret"))
+                   static_argnames=("match", "mismatch", "gap", "interpret",
+                                    "phased"))
 def start_profile_pallas(reads: jax.Array, splints: jax.Array,
                          lens: jax.Array | None = None,
                          match: int = 1, mismatch: int = -2, gap: int = 2,
-                         interpret: bool = False) -> jax.Array:
+                         interpret: bool = False,
+                         phased: bool = False) -> jax.Array:
     """Drop-in replacement for start_profile_batch (bit-identical output).
 
     reads (B, L) int8 pad 4 with B % 8 == 0 and L % 2048 == 0;
@@ -117,10 +128,29 @@ def start_profile_pallas(reads: jax.Array, splints: jax.Array,
 
     OV = min(_round_up(int(m * (gap + match) / gap) + 8, 128), TILE_L)
     W = TILE_L + OV
-    reach = m * match // gap + 1
-    levels = 1
-    while (1 << levels) - 1 < min(reach, W):
-        levels += 1
+
+    def _levels_for(reach):
+        lv = 1
+        while (1 << lv) - 1 < min(reach, W):
+            lv += 1
+        return lv
+
+    levels = _levels_for(m * match // gap + 1)
+    if phased:
+        # row t has consumed t+1 splint chars -> score budget
+        # (t+1)*match -> exact per-row gap reach (t+1)*match//gap + 1;
+        # group rows into static phases of equal closure level count
+        # (~20% fewer closure ops at m=288, bit-identical output)
+        segs, t0 = [], 0
+        for t in range(m):
+            lv = _levels_for((t + 1) * match // gap + 1)
+            if not segs or segs[-1][2] != lv:
+                if segs:
+                    segs[-1] = (segs[-1][0], t, segs[-1][2])
+                segs.append((t, m, lv))
+        segs = tuple(segs)
+    else:
+        segs = ((0, m, levels),)
 
     splints_flat = splints.astype(jnp.int32).reshape(C * m)
     if lens is None:
@@ -129,7 +159,7 @@ def start_profile_pallas(reads: jax.Array, splints: jax.Array,
 
     kernel = functools.partial(
         _kernel, match=match, mismatch=mismatch, gap=gap, m=m, C=C,
-        W=W, OV=OV, levels=levels, n_ltiles=nL)
+        W=W, OV=OV, segs=segs, n_ltiles=nL)
     return pl.pallas_call(
         kernel,
         grid=(nB, nL),

@@ -43,6 +43,10 @@ def test_pallas_profile_matches_ref():
             want = sw.start_profile(S[c][:slens[c]], R[b][:lens[b]])
             np.testing.assert_array_equal(prof[b, c, :lens[b]], want,
                                           err_msg=f"b={b} c={c}")
+    # phased closure (per-phase level counts) is bit-identical
+    prof_p = np.asarray(start_profile_pallas(R, S, interpret=True,
+                                             phased=True))
+    np.testing.assert_array_equal(prof, prof_p)
 
 
 import pytest
