@@ -38,11 +38,30 @@ def _profile_impl(reads, splints, lens=None):
             jax.default_backend() not in ("cpu",) and \
             B % 8 == 0 and L % 2048 == 0:
         from .pallas_profile import start_profile_pallas
-        # C3POA_PROFILE_PHASED=1: per-phase closure level counts (~20%
-        # fewer closure ops, bit-identical); off pending on-hardware A/B
+        # C3POA_PROFILE_PHASED: per-phase closure level counts (~20%
+        # fewer closure ops, bit-identical) — default ON after the
+        # on-hardware interleaved A/B (1.063x end-to-end, hw byte-parity
+        # checked; tools/pipe_ab.py 2026-08-18).  C3POA_PROFILE_EARLY=1
+        # additionally early-exits each row's closure at its fixpoint
+        # (exact, but measured SLOWER: 16 vs 25 G c/s — the while-loop
+        # and its convergence reduce cost more than the skipped passes).
+        #
+        # Fat tiles: (b_tile, tile_l) = (16, 4096) measured 52 G c/s vs
+        # 24 for the original (8, 2048) at (512, 32768, C=2, m=288) —
+        # fewer, wider vector ops amortize the per-op Mosaic overhead,
+        # and the wider tile cuts the OV-overlap redundancy 1.25x ->
+        # 1.125x.  The sweep plateaus ~53 at (8-16, 8192); 4096 keeps
+        # end-tile skipping twice as fine.  Shapes that don't divide
+        # fall back to the narrower tiling.
+        bt = int(os.environ.get("C3POA_PROFILE_BT",
+                                "16" if B % 16 == 0 else "8"))
+        tl = int(os.environ.get("C3POA_PROFILE_TL",
+                                "4096" if L % 4096 == 0 else "2048"))
         return start_profile_pallas(
             reads, splints, lens,
-            phased=os.environ.get("C3POA_PROFILE_PHASED", "0") == "1")
+            phased=os.environ.get("C3POA_PROFILE_PHASED", "1") == "1",
+            early=os.environ.get("C3POA_PROFILE_EARLY", "0") == "1",
+            b_tile=bt, tile_l=tl)
     return start_profile_batch(reads, splints)
 
 

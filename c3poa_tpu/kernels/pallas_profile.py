@@ -39,7 +39,7 @@ def _round_up(x, n):
 
 
 def _kernel(splints_ref, lens_ref, reads_ref, ext_ref, out_ref,
-            *, match, mismatch, gap, m, C, W, OV, segs, n_ltiles):
+            *, match, mismatch, gap, m, C, W, OV, segs, n_ltiles, early, bt, tl):
     lt = pl.program_id(1)
     is_last = lt == n_ltiles - 1
 
@@ -47,25 +47,25 @@ def _kernel(splints_ref, lens_ref, reads_ref, ext_ref, out_ref,
     # local scores clamp at 0): skip the whole DP.  Reads are chunked
     # length-sorted (tpu_backend.locate_many), so short-read batches in a
     # power-of-two length bucket skip most of their tiles.
-    b0 = pl.program_id(0) * B_TILE   # lens is an unblocked SMEM array
+    b0 = pl.program_id(0) * bt   # lens is an unblocked SMEM array
     lmax = lens_ref[b0]
-    for b in range(1, B_TILE):
+    for b in range(1, bt):
         lmax = jnp.maximum(lmax, lens_ref[b0 + b])
-    live = lt * TILE_L < lmax
+    live = lt * tl < lmax
 
     @pl.when(jnp.logical_not(live))
     def _zeros():
-        out_ref[:] = jnp.zeros((B_TILE, C, TILE_L), dtype=jnp.int32)
+        out_ref[:] = jnp.zeros((bt, C, tl), dtype=jnp.int32)
 
     @pl.when(live)
     def _dp():
-        rd_main = reads_ref[:].astype(jnp.int32)          # (B_t, TILE_L)
+        rd_main = reads_ref[:].astype(jnp.int32)          # (B_t, tl)
         rd_ext = ext_ref[:, :OV].astype(jnp.int32)        # (B_t, OV)
         # the last tile has no right neighbour: its extension is padding
         rd_ext2 = jnp.where(is_last, 4, rd_ext)
         rd = jnp.concatenate([rd_main, rd_ext2], axis=1)  # (B_t, W)
 
-        lane = jax.lax.broadcasted_iota(jnp.int32, (B_TILE, W), 1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (bt, W), 1)
 
         is_pad = rd == 4
         glane = gap * lane
@@ -85,17 +85,42 @@ def _kernel(splints_ref, lens_ref, reads_ref, ext_ref, out_ref,
                 T = jnp.maximum(jnp.maximum(diag, up), 0)
                 # bounded-reach reverse running max (exact: reach >= horizon)
                 A = T - glane
-                d = 1
-                for _ in range(levels):
-                    sh = pltpu.roll(A, shift=W - d, axis=1)
-                    sh = jnp.where(lane < W - d, sh, NEG)
-                    A = jnp.maximum(A, sh)
-                    d *= 2
+                if early:
+                    # convergence early-exit: a doubling pass that changes
+                    # nothing proves A[j] >= A[j + 2^k] for all j, and
+                    # applying that twice gives A[j] >= A[j + 2^(k+1)] —
+                    # every later pass is a no-op, so stopping at the
+                    # fixpoint is bit-identical.  Row t has consumed t+1
+                    # splint chars, so its gap reach is (t+1)*match//gap+1
+                    # (the phased bound), used as the worst-case cap.
+                    reach_t = jnp.minimum((t + 1) * match // gap + 1, W)
+
+                    def _cond(st):
+                        d_, _A, changed = st
+                        return jnp.logical_and(d_ - 1 < reach_t, changed)
+
+                    def _body(st):
+                        d_, A_, _ = st
+                        sh = pltpu.roll(A_, shift=W - d_, axis=1)
+                        sh = jnp.where(lane < W - d_, sh, NEG)
+                        A2 = jnp.maximum(A_, sh)
+                        return d_ * 2, A2, jnp.any(A2 != A_)
+
+                    _, A, _ = jax.lax.while_loop(
+                        _cond, _body,
+                        (jnp.int32(1), A, jnp.bool_(True)))
+                else:
+                    d = 1
+                    for _ in range(levels):
+                        sh = pltpu.roll(A, shift=W - d, axis=1)
+                        sh = jnp.where(lane < W - d, sh, NEG)
+                        A = jnp.maximum(A, sh)
+                        d *= 2
                 G_new = A + glane
                 return G_new, jnp.maximum(colmax, G_new)
             return row
 
-        Z = jnp.zeros((B_TILE, W), dtype=jnp.int32)
+        Z = jnp.zeros((bt, W), dtype=jnp.int32)
         for c in range(C):
             carry = (Z, Z)
             # segs: static (t_start, t_end, levels) phases — early rows
@@ -104,17 +129,20 @@ def _kernel(splints_ref, lens_ref, reads_ref, ext_ref, out_ref,
             for t0, t1, lv in segs:
                 carry = jax.lax.fori_loop(t0, t1, make_row(c, lv), carry)
             _G, colmax = carry
-            out_ref[:, c, :] = colmax[:, :TILE_L]
+            out_ref[:, c, :] = colmax[:, :tl]
 
 
 @functools.partial(jax.jit,
                    static_argnames=("match", "mismatch", "gap", "interpret",
-                                    "phased"))
+                                    "phased", "early", "b_tile", "tile_l"))
 def start_profile_pallas(reads: jax.Array, splints: jax.Array,
                          lens: jax.Array | None = None,
                          match: int = 1, mismatch: int = -2, gap: int = 2,
                          interpret: bool = False,
-                         phased: bool = False) -> jax.Array:
+                         phased: bool = False,
+                         early: bool = False,
+                         b_tile: int = B_TILE,
+                         tile_l: int = TILE_L) -> jax.Array:
     """Drop-in replacement for start_profile_batch (bit-identical output).
 
     reads (B, L) int8 pad 4 with B % 8 == 0 and L % 2048 == 0;
@@ -123,11 +151,11 @@ def start_profile_pallas(reads: jax.Array, splints: jax.Array,
     """
     B, L = reads.shape
     C, m = splints.shape
-    assert B % B_TILE == 0 and L % TILE_L == 0, (B, L)
-    nB, nL = B // B_TILE, L // TILE_L
+    assert B % b_tile == 0 and L % tile_l == 0, (B, L)
+    nB, nL = B // b_tile, L // tile_l
 
-    OV = min(_round_up(int(m * (gap + match) / gap) + 8, 128), TILE_L)
-    W = TILE_L + OV
+    OV = min(_round_up(int(m * (gap + match) / gap) + 8, 128), tile_l)
+    W = tile_l + OV
 
     def _levels_for(reach):
         lv = 1
@@ -157,22 +185,26 @@ def start_profile_pallas(reads: jax.Array, splints: jax.Array,
         lens = jnp.full((B,), L, dtype=jnp.int32)
     lens = lens.astype(jnp.int32)
 
+    if early:
+        # the while-loop cond carries the per-row reach cap; one phase
+        segs = ((0, m, levels),)
     kernel = functools.partial(
         _kernel, match=match, mismatch=mismatch, gap=gap, m=m, C=C,
-        W=W, OV=OV, segs=segs, n_ltiles=nL)
+        W=W, OV=OV, segs=segs, n_ltiles=nL, early=early,
+        bt=b_tile, tl=tile_l)
     return pl.pallas_call(
         kernel,
         grid=(nB, nL),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((B_TILE, TILE_L), lambda b, l: (b, l),
+            pl.BlockSpec((b_tile, tile_l), lambda b, l: (b, l),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((B_TILE, TILE_L),
+            pl.BlockSpec((b_tile, tile_l),
                          lambda b, l: (b, jnp.minimum(l + 1, nL - 1)),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((B_TILE, C, TILE_L),
+        out_specs=pl.BlockSpec((b_tile, C, tile_l),
                                lambda b, l: (b, 0, l),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, C, L), jnp.int32),

@@ -1,9 +1,8 @@
 """Pallas kernels (interpret mode) vs the XLA/numpy references.
 
-These kernels are compute-optimal but carry a fixed per-call dispatch
-overhead on relayed TPU runtimes, so the pipeline uses the XLA versions by
-default (C3POA_USE_PALLAS=1 opts in).  Parity is enforced here either way.
-"""
+These kernels are the default accelerator paths (C3POA_USE_PALLAS=0
+reverts to the XLA scans); parity is enforced here in interpret mode and
+by tools/hw_parity.py on the live chip."""
 
 import functools
 
@@ -47,6 +46,28 @@ def test_pallas_profile_matches_ref():
     prof_p = np.asarray(start_profile_pallas(R, S, interpret=True,
                                              phased=True))
     np.testing.assert_array_equal(prof, prof_p)
+    # fixpoint early-exit closure (while-loop) is bit-identical
+    prof_e = np.asarray(start_profile_pallas(R, S, interpret=True,
+                                             early=True))
+    np.testing.assert_array_equal(prof, prof_e)
+
+
+def test_pallas_profile_fat_tiles():
+    # (b_tile, tile_l) = (16, 4096): the shipped accelerator config
+    # (2.1x the (8, 2048) tiling on the v5e, see kernels/locate.py)
+    rng = np.random.default_rng(3)
+    B, L, C, m = 16, 4096, 1, 64
+    R = np.full((B, L), 4, dtype=np.int8)
+    lens = [int(rng.integers(L // 2, L + 1)) for _ in range(B)]
+    for b, n in enumerate(lens):
+        R[b, :n] = rng.integers(0, 4, n)
+    S = rng.integers(0, 4, (C, m)).astype(np.int8)
+    R[3, 2040:2040 + m] = S[0]  # occurrence spanning the old tile seam
+    base = np.asarray(start_profile_pallas(R, S, interpret=True))
+    fat = np.asarray(start_profile_pallas(R, S, interpret=True,
+                                          phased=True,
+                                          b_tile=16, tile_l=4096))
+    np.testing.assert_array_equal(base, fat)
 
 
 import pytest
