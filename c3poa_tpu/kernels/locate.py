@@ -65,14 +65,41 @@ def _profile_impl(reads, splints, lens=None):
     return start_profile_batch(reads, splints)
 
 
-@partial(jax.jit, static_argnames=("tile",))
+def pack_b5(reads_np):
+    """Host side: pack (B, L) int8 codes 0..4 into (B, ceil(L/3)) int8,
+    3 base-5 digits per byte (max 124).  Exact for the full alphabet
+    incl. the pad code 4, unlike 2-bit packing.  Cuts the host->device
+    upload 3x on relayed runtimes where transfer is serialized."""
+    import numpy as np
+    B, L = reads_np.shape
+    Lp = -(-L // 3) * 3
+    if Lp != L:
+        reads_np = np.pad(reads_np, ((0, 0), (0, Lp - L)),
+                          constant_values=4)
+    r = reads_np.astype(np.int8)
+    return r[:, 0::3] + 5 * r[:, 1::3] + 25 * r[:, 2::3]
+
+
+def _unpack_b5(packed, L):
+    """Device side: inverse of pack_b5, back to (B, L) int8."""
+    r = packed.astype(jnp.int32)
+    parts = jnp.stack([r % 5, (r // 5) % 5, r // 25], axis=2)
+    B = packed.shape[0]
+    return parts.reshape(B, -1)[:, :L].astype(jnp.int8)
+
+
+@partial(jax.jit, static_argnames=("tile", "unpack_l"))
 def locate_device(reads: jax.Array, lens: jax.Array, splints: jax.Array,
-                  tile: int = 64):
+                  tile: int = 64, unpack_l: int | None = None):
     """reads (B, L) int8 pad 4; lens (B,) int32; splints (C, m) int8 pad 4.
+    With ``unpack_l``, ``reads`` is pack_b5-packed and unpacked on device
+    to (B, unpack_l) first.
 
     Returns (combo (B,) int32, best_score (B,) int32,
              cand_pos (B, L/tile) int32, cand_h (B, L/tile) f32,
              med (B,) f32)."""
+    if unpack_l is not None:
+        reads = _unpack_b5(reads, unpack_l)
     prof = _profile_impl(reads, splints, lens)          # (B, C, L) int32
     per_combo = jnp.max(prof, axis=2)                   # (B, C)
     combo = jnp.argmax(per_combo, axis=1).astype(jnp.int32)

@@ -35,6 +35,21 @@ from .backend import LocateResult, NumpyBackend
 # powers of two ONLY — this environment's compile cache silently drops
 # non-pow2 locate shapes (a 49152 bucket recompiled ~170s every process).
 LEN_BUCKETS = (8192, 16384, 32768, 65536, 131072)
+
+
+def _len_buckets() -> tuple[int, ...]:
+    """The locate bucket ladder, env-overridable per call
+    (C3POA_LOCATE_BUCKETS="32768,131072").  Fewer buckets = fewer
+    launches per group; the profile kernel's per-16-row-tile end
+    skipping makes the extra padded tiles nearly free (a dead tile is
+    one VMEM zeros write), so on dispatch-overhead-dominated relays a
+    coarser ladder wins."""
+    env = os.environ.get("C3POA_LOCATE_BUCKETS")
+    if not env:
+        return LEN_BUCKETS
+    return tuple(int(x) for x in env.split(","))
+
+
 # device state budget for the locate kernel: B*C*L int32 elements
 LOCATE_BUDGET = 64 << 20
 # move-block budget for the aligner: P*nq*W bytes.  The scan is
@@ -45,10 +60,11 @@ ALIGN_BUDGET = 1 << 30
 
 
 def _bucket_len(n: int) -> int:
-    for b in LEN_BUCKETS:
+    bk = _len_buckets()
+    for b in bk:
         if n <= b:
             return b
-    return LEN_BUCKETS[-1]
+    return bk[-1]
 
 
 def _pow2_at_least(n: int, lo: int = 128) -> int:
@@ -70,13 +86,26 @@ def _pow2_at_most(n: int, lo: int = 8) -> int:
 _P_LADDER = (8, 64, 128, 256, 512, 1024, 2048)
 
 
+def _p_ladder() -> tuple[int, ...]:
+    """Batch-size ladder, max env-overridable per call
+    (C3POA_P_LADDER_MAX=4096): each doubling past 2048 halves the launch
+    count of a full group at ~flat per-row device cost, at the price of
+    one more compiled shape per bucket."""
+    mx = int(os.environ.get("C3POA_P_LADDER_MAX", "2048"))
+    lad = [s for s in _P_LADDER if s <= mx]
+    while lad[-1] * 2 <= mx:
+        lad.append(lad[-1] * 2)
+    return tuple(lad)
+
+
 def _batch_size(n_items: int, budget_items: int) -> int:
     """Compile-once batch size from a small fixed ladder, within budget."""
-    cap = _pow2_at_most(max(budget_items, _P_LADDER[0]), _P_LADDER[0])
-    for s in _P_LADDER:
+    ladder = _p_ladder()
+    cap = _pow2_at_most(max(budget_items, ladder[0]), ladder[0])
+    for s in ladder:
         if s >= n_items:
             return min(s, cap)
-    return min(_P_LADDER[-1], cap)
+    return min(ladder[-1], cap)
 
 
 def _chunk_sizes(n_items: int, budget_items: int,
@@ -88,17 +117,18 @@ def _chunk_sizes(n_items: int, budget_items: int,
     30-50 ms; a padded row's cost depends on the kernel), so a covering
     size whose padding stays below that is one launch, and a larger
     overhang is split into a full chunk plus a tail."""
-    cap = _pow2_at_most(max(budget_items, _P_LADDER[0]), _P_LADDER[0])
+    ladder = _p_ladder()
+    cap = _pow2_at_most(max(budget_items, ladder[0]), ladder[0])
     out = []
     left = n_items
     while left > 0:
         cover = None
-        for s in _P_LADDER:
+        for s in ladder:
             if s >= left and s <= cap:
                 cover = s
                 break
-        below = max((s for s in _P_LADDER if s <= min(left, cap)),
-                    default=min(_P_LADDER[0], cap))
+        below = max((s for s in ladder if s <= min(left, cap)),
+                    default=min(ladder[0], cap))
         if cover is not None and (cover - left) <= launch_cost_rows:
             out.append(cover)
             return out
@@ -301,8 +331,9 @@ class TpuBackend:
 
         by_bucket: dict[int, list[int]] = {}
         overlong: list[int] = []
+        lmax_bucket = _len_buckets()[-1]
         for i, codes in enumerate(reads):
-            if len(codes) > LEN_BUCKETS[-1]:
+            if len(codes) > lmax_bucket:
                 # beyond the bucket ladder (>128 kb): the exact host path
                 # locates the full read instead of truncating it — rare
                 # enough that the O(m*n) numpy profile is fine
@@ -356,6 +387,12 @@ class TpuBackend:
                     prof.current.count("locate_compiled_shapes")
                 if self.mesh is not None:
                     res = self._sharded_locate(tile)(R, lens, S)
+                elif os.environ.get("C3POA_PACK_UPLOAD", "0") == "1":
+                    # base-5 pack: 3x smaller host->device read upload,
+                    # unpacked on device (kernels/locate.pack_b5)
+                    from ..kernels.locate import pack_b5
+                    res = locate_device(pack_b5(R), lens, S, tile=tile,
+                                        unpack_l=L)
                 else:
                     res = locate_device(R, lens, S, tile=tile)
                 launches.append((chunk, res))
@@ -394,8 +431,9 @@ class TpuBackend:
                     return b
             return _bucket_len(n)
 
+        lmax_bucket = _len_buckets()[-1]
         for i, codes in enumerate(reads):
-            if len(codes) > LEN_BUCKETS[-1]:
+            if len(codes) > lmax_bucket:
                 overlong.append(i)  # exact host path, as in locate_many
                 continue
             by_bucket.setdefault(_adapter_bucket(len(codes)), []).append(i)

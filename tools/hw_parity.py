@@ -56,7 +56,9 @@ def main():
         make_dataset(d, n_reads)
         for t in toggles:
             var, vals = t.split("=", 1)
-            arms = vals.split(",")
+            # ";" separates arms when the values themselves hold commas
+            # (e.g. C3POA_LOCATE_BUCKETS=8192,32768;32768)
+            arms = vals.split(";") if ";" in vals else vals.split(",")
             outs = []
             for arm in arms:
                 os.environ[var] = arm

@@ -31,7 +31,8 @@ def main():
     var, arms = "C3POA_ALIGN_PIPE", ("1", "2")
     if len(sys.argv) > 3:
         var, vals = sys.argv[3].split("=", 1)
-        arms = tuple(vals.split(","))
+        # ";" separates arms when the values themselves hold commas
+        arms = tuple(vals.split(";") if ";" in vals else vals.split(","))
     from c3poa_tpu.pipeline.tpu_backend import TpuBackend
     backend = TpuBackend()
     with tempfile.TemporaryDirectory() as d:
