@@ -21,7 +21,45 @@ from .smooth import smooth3_batch
 from .sw_profile import start_profile_batch
 
 
-def _profile_impl(reads, splints, lens=None):
+def profile_opts(B: int, L: int) -> tuple:
+    """Resolve the profile-kernel configuration from the environment at
+    HOST level (hashable static tuple).  Must be called per launch by the
+    non-jitted wrapper — env vars read inside a jitted function are baked
+    in at trace time, so in-process toggles (tools/pipe_ab.py,
+    tools/hw_parity.py A/B arms) would silently compare a kernel against
+    itself (round-2 advisor finding).
+
+    Returns (use_pallas, phased, early, b_tile, tile_l)."""
+    import os
+    use_pallas = (os.environ.get("C3POA_USE_PALLAS", "1") != "0" and
+                  jax.default_backend() not in ("cpu",) and
+                  B % 8 == 0 and L % 2048 == 0)
+    # C3POA_PROFILE_PHASED: per-phase closure level counts (~20%
+    # fewer closure ops, bit-identical) — default ON after the
+    # on-hardware interleaved A/B (subprocess arms, tools/pipe_ab.py).
+    # C3POA_PROFILE_EARLY=1 additionally early-exits each row's closure
+    # at its fixpoint (exact, but measured SLOWER: 16 vs 25 G c/s — the
+    # while-loop and its convergence reduce cost more than the skipped
+    # passes).
+    #
+    # Fat tiles: (b_tile, tile_l) = (16, 4096) measured 52 G c/s vs
+    # 24 for the original (8, 2048) at (512, 32768, C=2, m=288) —
+    # fewer, wider vector ops amortize the per-op Mosaic overhead,
+    # and the wider tile cuts the OV-overlap redundancy 1.25x ->
+    # 1.125x.  The sweep plateaus ~53 at (8-16, 8192); 4096 keeps
+    # end-tile skipping twice as fine.  Shapes that don't divide
+    # fall back to the narrower tiling.
+    bt = int(os.environ.get("C3POA_PROFILE_BT",
+                            "16" if B % 16 == 0 else "8"))
+    tl = int(os.environ.get("C3POA_PROFILE_TL",
+                            "4096" if L % 4096 == 0 else "2048"))
+    return (use_pallas,
+            os.environ.get("C3POA_PROFILE_PHASED", "1") == "1",
+            os.environ.get("C3POA_PROFILE_EARLY", "0") == "1",
+            bt, tl)
+
+
+def _profile_impl(reads, splints, lens=None, popts=None):
     """Profile kernel selection.
 
     The Pallas kernel (kernels/pallas_profile.py) is bit-identical and the
@@ -31,37 +69,20 @@ def _profile_impl(reads, splints, lens=None):
     skips read tiles past every read's end (callers chunk length-sorted).
     The XLA scan remains the CPU/test path and the fallback for shapes the
     kernel's tiling cannot take (B % 8 or L % 2048 != 0 — the backend's
-    buckets always satisfy both).  Set C3POA_USE_PALLAS=0 to force XLA."""
-    import os
+    buckets always satisfy both).  Set C3POA_USE_PALLAS=0 to force XLA.
+
+    ``popts`` is the profile_opts() tuple resolved by the caller at host
+    level; None (direct jitted-callsite use, e.g. tests) resolves here —
+    at trace time, so such callers cannot flip env vars in-process."""
     B, L = reads.shape
-    if os.environ.get("C3POA_USE_PALLAS", "1") != "0" and \
-            jax.default_backend() not in ("cpu",) and \
-            B % 8 == 0 and L % 2048 == 0:
+    if popts is None:
+        popts = profile_opts(B, L)
+    use_pallas, phased, early, bt, tl = popts
+    if use_pallas:
         from .pallas_profile import start_profile_pallas
-        # C3POA_PROFILE_PHASED: per-phase closure level counts (~20%
-        # fewer closure ops, bit-identical) — default ON after the
-        # on-hardware interleaved A/B (1.063x end-to-end, hw byte-parity
-        # checked; tools/pipe_ab.py 2026-08-18).  C3POA_PROFILE_EARLY=1
-        # additionally early-exits each row's closure at its fixpoint
-        # (exact, but measured SLOWER: 16 vs 25 G c/s — the while-loop
-        # and its convergence reduce cost more than the skipped passes).
-        #
-        # Fat tiles: (b_tile, tile_l) = (16, 4096) measured 52 G c/s vs
-        # 24 for the original (8, 2048) at (512, 32768, C=2, m=288) —
-        # fewer, wider vector ops amortize the per-op Mosaic overhead,
-        # and the wider tile cuts the OV-overlap redundancy 1.25x ->
-        # 1.125x.  The sweep plateaus ~53 at (8-16, 8192); 4096 keeps
-        # end-tile skipping twice as fine.  Shapes that don't divide
-        # fall back to the narrower tiling.
-        bt = int(os.environ.get("C3POA_PROFILE_BT",
-                                "16" if B % 16 == 0 else "8"))
-        tl = int(os.environ.get("C3POA_PROFILE_TL",
-                                "4096" if L % 4096 == 0 else "2048"))
         return start_profile_pallas(
             reads, splints, lens,
-            phased=os.environ.get("C3POA_PROFILE_PHASED", "1") == "1",
-            early=os.environ.get("C3POA_PROFILE_EARLY", "0") == "1",
-            b_tile=bt, tile_l=tl)
+            phased=phased, early=early, b_tile=bt, tile_l=tl)
     return start_profile_batch(reads, splints)
 
 
@@ -88,7 +109,6 @@ def _unpack_b5(packed, L):
     return parts.reshape(B, -1)[:, :L].astype(jnp.int8)
 
 
-@partial(jax.jit, static_argnames=("tile", "unpack_l"))
 def locate_device(reads: jax.Array, lens: jax.Array, splints: jax.Array,
                   tile: int = 64, unpack_l: int | None = None):
     """reads (B, L) int8 pad 4; lens (B,) int32; splints (C, m) int8 pad 4.
@@ -97,10 +117,26 @@ def locate_device(reads: jax.Array, lens: jax.Array, splints: jax.Array,
 
     Returns (combo (B,) int32, best_score (B,) int32,
              cand_pos (B, L/tile) int32, cand_h (B, L/tile) f32,
-             med (B,) f32)."""
+             med (B,) f32).
+
+    Non-jitted wrapper: resolves the profile-kernel env configuration at
+    host level on EVERY call and passes it to the jitted body as a static
+    arg, so in-process env flips select a different compiled program
+    instead of being silently baked in at first trace."""
+    B, L = reads.shape
+    if unpack_l is not None:
+        L = unpack_l
+    return _locate_device_jit(reads, lens, splints, tile=tile,
+                              unpack_l=unpack_l, popts=profile_opts(B, L))
+
+
+@partial(jax.jit, static_argnames=("tile", "unpack_l", "popts"))
+def _locate_device_jit(reads: jax.Array, lens: jax.Array,
+                       splints: jax.Array, tile: int = 64,
+                       unpack_l: int | None = None, popts: tuple = None):
     if unpack_l is not None:
         reads = _unpack_b5(reads, unpack_l)
-    prof = _profile_impl(reads, splints, lens)          # (B, C, L) int32
+    prof = _profile_impl(reads, splints, lens, popts)   # (B, C, L) int32
     per_combo = jnp.max(prof, axis=2)                   # (B, C)
     combo = jnp.argmax(per_combo, axis=1).astype(jnp.int32)
     best_score = jnp.max(per_combo, axis=1)

@@ -145,6 +145,14 @@ def get_lib():
         ]
     except AttributeError:  # stale .so without the bench symbol
         pass
+    try:
+        lib.c3_align_moves.restype = i64
+        lib.c3_align_moves.argtypes = [
+            i8p, i32, i8p, i32, i64, i64, i64, i64, i32,
+            u8p, i64p, ctypes.POINTER(i32),
+        ]
+    except AttributeError:  # stale .so without the CPU aligner symbol
+        pass
     _LIB = lib
     return _LIB
 
@@ -518,6 +526,50 @@ def dp_score_c(q: np.ndarray, t: np.ndarray, match=5, mismatch=-4,
                             gap_open, gap_ext, band,
                             work[0], work[1], work[2], work[3], j_end)
     return int(score), int(j_end[0])
+
+
+# ---------------- scalar-C full aligner (CPU backend hot path) ----------
+
+def align_and_trace_c(q: np.ndarray, t: np.ndarray, match=5, mismatch=-4,
+                      gap_open=4, gap_ext=2, band=128, normalize=True):
+    """C fast path for ref.banded.align_and_trace: scalar-C banded
+    forward with band-local move bytes (native/align.c), then the C
+    traceback + homopolymer normalization (traceback.c).  Bit-identical
+    records to the numpy spec (tests/test_native.py); ~100x the numpy
+    rows — this is what makes the CPU proxy baseline C-grade
+    (BENCHMARKS.md).  Returns an AlignRecord or None when the library
+    lacks the symbol."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "c3_align_moves"):
+        return None
+    from .ref.banded import AlignRecord
+
+    q = np.ascontiguousarray(q, dtype=np.int8)
+    t = np.ascontiguousarray(t, dtype=np.int8)
+    nq, nt = len(q), len(t)
+    # fresh buffers per call: allocation is ~us against a ~ms DP, and it
+    # keeps the routine trivially thread-safe
+    work = np.empty(4 * (nt + 1), dtype=np.int64)
+    moves = np.empty((nq, band), dtype=np.uint8)
+    j_end = ctypes.c_int32(0)
+    score = lib.c3_align_moves(q, nq, t, nt, match, mismatch,
+                               gap_open, gap_ext, band, moves, work,
+                               ctypes.byref(j_end))
+    if score <= -(2 ** 39):
+        return None  # unreachable band (nt > 3*nq): numpy path decides
+    nt32 = nt
+    cover = np.zeros(nt32, dtype=np.int8)
+    base = np.zeros(nt32, dtype=np.int8)
+    qpos = np.zeros(nt32, dtype=np.int32)
+    ins_len = np.zeros(nt32 + 1, dtype=np.int32)
+    ins_qstart = np.zeros(nt32 + 1, dtype=np.int32)
+    j_start = lib.c3_traceback(
+        moves, nq, band, q, nq, nt, int(j_end.value),
+        cover, base, qpos, ins_len, ins_qstart)
+    if normalize:
+        lib.c3_normalize(q, t, nt, cover, base, qpos, ins_len, ins_qstart)
+    return AlignRecord(cover, base, qpos, ins_len, ins_qstart,
+                       int(j_start), int(j_end.value), int(score))
 
 
 _ARENAS: dict = {}

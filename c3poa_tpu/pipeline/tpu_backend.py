@@ -37,17 +37,46 @@ from .backend import LocateResult, NumpyBackend
 LEN_BUCKETS = (8192, 16384, 32768, 65536, 131072)
 
 
+_LEN_BUCKET_CACHE: dict = {}
+
+
 def _len_buckets() -> tuple[int, ...]:
     """The locate bucket ladder, env-overridable per call
     (C3POA_LOCATE_BUCKETS="32768,131072").  Fewer buckets = fewer
     launches per group; the profile kernel's per-16-row-tile end
     skipping makes the extra padded tiles nearly free (a dead tile is
     one VMEM zeros write), so on dispatch-overhead-dominated relays a
-    coarser ladder wins."""
+    coarser ladder wins.
+
+    Overrides are validated once per distinct env value (cached): every
+    bucket must be a power of two (this environment's compile cache
+    silently drops non-pow2 locate shapes — ~170s recompile per process)
+    and a multiple of 4096 (the profile kernel's fat tile; non-multiples
+    of 2048 would silently fall back to the slow XLA scan), and the
+    ladder is sorted ascending (_bucket_len assumes it)."""
     env = os.environ.get("C3POA_LOCATE_BUCKETS")
     if not env:
         return LEN_BUCKETS
-    return tuple(int(x) for x in env.split(","))
+    cached = _LEN_BUCKET_CACHE.get(env)
+    if cached is not None:
+        return cached
+    try:
+        buckets = tuple(sorted(int(x) for x in env.split(",") if x.strip()))
+    except ValueError as exc:
+        raise ValueError(
+            f"C3POA_LOCATE_BUCKETS={env!r}: not a comma-separated int "
+            f"list") from exc
+    if not buckets:
+        raise ValueError(f"C3POA_LOCATE_BUCKETS={env!r}: empty ladder")
+    bad = [b for b in buckets if b < 4096 or b & (b - 1) or b % 4096]
+    if bad:
+        raise ValueError(
+            f"C3POA_LOCATE_BUCKETS={env!r}: buckets {bad} must be "
+            f"powers of two >= 4096 (non-pow2 shapes recompile every "
+            f"process; non-multiples of 4096 drop the Pallas profile "
+            f"kernel)")
+    _LEN_BUCKET_CACHE[env] = buckets
+    return buckets
 
 
 # device state budget for the locate kernel: B*C*L int32 elements
@@ -92,6 +121,11 @@ def _p_ladder() -> tuple[int, ...]:
     count of a full group at ~flat per-row device cost, at the price of
     one more compiled shape per bucket."""
     mx = int(os.environ.get("C3POA_P_LADDER_MAX", "2048"))
+    # clamp to the ladder floor and round down to a power of two: a
+    # sub-8 or non-pow2 max would otherwise produce an empty ladder
+    # (IndexError) or batch shapes outside the compile-once set
+    mx = max(mx, _P_LADDER[0])
+    mx = _pow2_at_most(mx, _P_LADDER[0])
     lad = [s for s in _P_LADDER if s <= mx]
     while lad[-1] * 2 <= mx:
         lad.append(lad[-1] * 2)

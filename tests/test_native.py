@@ -92,6 +92,44 @@ def test_dp_score_c_matches_numpy():
         assert (s_c, j_c) == (int(s_np), int(j_np)), (nq, nt, band)
 
 
+def test_align_and_trace_c_matches_numpy():
+    """native/align.c full aligner (forward moves + C traceback +
+    normalization) emits records bit-identical to ref.banded
+    .align_and_trace across shapes, bands and edge cases — it is the
+    NumpyBackend/serial_align_many hot path, so any divergence would
+    silently change CPU-backend consensus output."""
+    from c3poa_tpu import sim
+    from c3poa_tpu.ref.banded import AlignRecord, align_and_trace
+    from c3poa_tpu.utils.seqs import encode
+
+    lib = native.get_lib()
+    if lib is None or not hasattr(lib, "c3_align_moves"):
+        pytest.skip("native aligner not built")
+    rng = np.random.default_rng(7)
+    cases = []
+    for _ in range(30):
+        n = int(rng.integers(20, 900))
+        t = sim.random_seq(rng, n)
+        q = sim.mutate(rng, t, 0.08, 0.04, 0.04)
+        cases.append((encode(q), encode(t), int(rng.choice([16, 64, 128]))))
+    # edge cases: N codes, tiny sequences, homopolymers (normalization),
+    # length-mismatched pairs up to the engine's nt <= 3*nq guarantee
+    cases.append((np.array([0, 4, 2, 4, 1], np.int8),
+                  np.array([0, 1, 2, 4, 1, 3], np.int8), 8))
+    cases.append((encode("AAAAAAGAAAA"), encode("AAAAAAAGAAAAA"), 8))
+    cases.append((encode("ACG"), encode("ACGACGACG"), 4))
+    for qa, ta, W in cases:
+        r1 = align_and_trace(qa, ta, band=W)
+        r2 = native.align_and_trace_c(qa, ta, band=W)
+        assert r2 is not None
+        for f in AlignRecord._fields:
+            a, b = getattr(r1, f), getattr(r2, f)
+            if isinstance(a, np.ndarray):
+                np.testing.assert_array_equal(a, b, err_msg=f)
+            else:
+                assert a == b, (f, a, b)
+
+
 @pytest.mark.parametrize("seed", range(3))
 def test_native_vote_jobs_matches_per_job(seed):
     """c3_vote_jobs (batched, threaded, implicit draft voter) must equal

@@ -55,19 +55,28 @@ def test_pallas_profile_matches_ref():
 def test_pallas_profile_fat_tiles():
     # (b_tile, tile_l) = (16, 4096): the shipped accelerator config
     # (2.1x the (8, 2048) tiling on the v5e, see kernels/locate.py)
+    # L = 2 * tile_l so the fat config has a REAL cross-tile seam at
+    # 4096 (with L == tile_l, is_last is always true and the fat tile's
+    # extension/OV path would never execute — round-2 advisor finding)
     rng = np.random.default_rng(3)
-    B, L, C, m = 16, 4096, 1, 64
+    B, L, C, m = 16, 8192, 1, 64
     R = np.full((B, L), 4, dtype=np.int8)
     lens = [int(rng.integers(L // 2, L + 1)) for _ in range(B)]
     for b, n in enumerate(lens):
         R[b, :n] = rng.integers(0, 4, n)
     S = rng.integers(0, 4, (C, m)).astype(np.int8)
-    R[3, 2040:2040 + m] = S[0]  # occurrence spanning the old tile seam
+    R[3, 2040:2040 + m] = S[0]  # occurrence spanning the narrow tile seam
+    R[5, 4096 - m // 2:4096 + m - m // 2] = S[0]  # spans the FAT tile seam
+    lens[3] = max(lens[3], 2040 + m)
+    lens[5] = max(lens[5], 4096 + m)
     base = np.asarray(start_profile_pallas(R, S, interpret=True))
     fat = np.asarray(start_profile_pallas(R, S, interpret=True,
                                           phased=True,
                                           b_tile=16, tile_l=4096))
     np.testing.assert_array_equal(base, fat)
+    # the planted seam-spanning occurrence must actually score as a full
+    # match (+1/base) at its start position
+    assert fat[5, 0, 4096 - m // 2] >= m - 1
 
 
 import pytest
