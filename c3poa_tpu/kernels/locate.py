@@ -117,7 +117,10 @@ def locate_device(reads: jax.Array, lens: jax.Array, splints: jax.Array,
 
     Returns (combo (B,) int32, best_score (B,) int32,
              cand_pos (B, L/tile) int32, cand_h (B, L/tile) f32,
-             med (B,) f32).
+             med (B,) f32, deep (B,) bool).
+
+    ``deep`` marks reads needing the exact host peak rerun (a tile held
+    more than the 2 candidates the compaction keeps — kernels/peaks.py).
 
     Non-jitted wrapper: resolves the profile-kernel env configuration at
     host level on EVERY call and passes it to the jitted body as a static
@@ -143,9 +146,9 @@ def _locate_device_jit(reads: jax.Array, lens: jax.Array,
     chosen = jnp.take_along_axis(
         prof, combo[:, None, None], axis=1)[:, 0, :]    # (B, L)
     sm = smooth3_batch(chosen.astype(jnp.float32), lens)
-    cand_pos, cand_h, med, _height, _gated = peak_candidates_batch(
+    cand_pos, cand_h, med, _height, _gated, deep = peak_candidates_batch(
         sm, lens, tile=tile)
-    return combo, best_score, cand_pos, cand_h, med
+    return combo, best_score, cand_pos, cand_h, med, deep
 
 
 def locate_batch(reads, lens, splints, min_dist, max_peaks: int = 128):
@@ -154,11 +157,26 @@ def locate_batch(reads, lens, splints, min_dist, max_peaks: int = 128):
     / L-padded, n_peaks (B,) int32)."""
     B, L = np.shape(reads)
     tile = tile_for_distance(int(min_dist))
-    combo, best_score, cand_pos, cand_h, _med = locate_device(
+    combo, best_score, cand_pos, cand_h, _med, deep = locate_device(
         jnp.asarray(reads), jnp.asarray(lens), jnp.asarray(splints),
         tile=tile)
     peaks = select_peaks_host(np.asarray(cand_pos), np.asarray(cand_h),
                               int(min_dist))
+    # deep-flagged reads: exact rerun of the chosen combo's profile ->
+    # smooth -> scipy-exact selection on the host (rare by construction)
+    deep = np.asarray(deep)
+    if deep.any():
+        from ..ref import peaks as ref_peaks
+        from ..ref import sg as ref_sg
+        from ..ref import sw as ref_sw
+        combo_np = np.asarray(combo)
+        splints_np = np.asarray(splints)
+        for b in np.flatnonzero(deep):
+            codes = np.asarray(reads[b][:lens[b]], dtype=np.int8)
+            prof = ref_sw.start_profile(splints_np[combo_np[b]], codes)
+            sm = ref_sg.smooth3(prof)
+            pks, _m = ref_peaks.call_peaks(sm, int(min_dist))
+            peaks[b] = pks.astype(np.int64)
     K = max_peaks
     pos = np.full((B, K), L, dtype=np.int32)
     n = np.zeros(B, dtype=np.int32)

@@ -89,7 +89,15 @@ def peak_candidates_batch(smoothed: jax.Array, lens: jax.Array,
     smoothed: (B, L) f32 (zero beyond lens); lens: (B,) int32.
     Returns (cand_pos (B, L/tile) int32 plateau midpoints (-1 where none),
              cand_h (B, L/tile) f32, med (B,) f32, height (B,) f32,
-             gated (B,) bool).
+             gated (B,) bool, deep (B,) bool).
+
+    ``deep`` flags reads where some tile held a THIRD surviving local
+    maximum beyond the top-2 the compaction keeps: only there can the
+    host's greedy distance selection diverge from scipy's (a 3-deep
+    elimination chain inside one tile).  Flagged reads must be re-run
+    through the exact host path (ref/peaks.py) — see
+    TpuBackend.locate_many / call_peaks_batch; this removes the former
+    silent residual at ANY chain depth (PARITY.md §9).
     """
     B, L = smoothed.shape
     assert L % tile == 0
@@ -148,10 +156,14 @@ def peak_candidates_batch(smoothed: jax.Array, lens: jax.Array,
     # runner-up: drop only the winner's position, re-reduce
     h_t2 = jnp.where(mid_t == p1[:, :, None], NEG_F, h_t)
     h2, p2 = tile_best(h_t2)
+    # third-candidate detector: any tile with a surviving candidate
+    # beyond the top-2 -> exact host rerun for that read
+    h_t3 = jnp.where(mid_t == p2[:, :, None], NEG_F, h_t2)
+    deep = jnp.any(jnp.max(h_t3, axis=2) > NEG_F / 2, axis=1)
 
     cand_pos = jnp.concatenate([p1, p2], axis=1)
     cand_h = jnp.concatenate([h1, h2], axis=1)
-    return cand_pos, cand_h, med, height, gated
+    return cand_pos, cand_h, med, height, gated, deep
 
 
 def select_peaks_host(cand_pos: np.ndarray, cand_h: np.ndarray,
@@ -181,17 +193,30 @@ def select_peaks_host(cand_pos: np.ndarray, cand_h: np.ndarray,
 def call_peaks_batch(smoothed, lens, min_dist, max_peaks: int = 128):
     """Convenience wrapper (device candidates + host selection) with the
     original API: returns (positions (B, K) int32 ascending / L-padded,
-    n_peaks (B,) int32, med (B,) f32)."""
+    n_peaks (B,) int32, med (B,) f32).
+
+    Reads flagged ``deep`` (a tile held >2 surviving maxima — the only
+    case where compaction can diverge from scipy) are re-run through the
+    exact host selection on their full smoothed row, so the result is
+    scipy-exact at any chain depth."""
+    from ..ref.peaks import call_peaks as ref_call_peaks
+
     B, L = smoothed.shape
     tile = tile_for_distance(int(min_dist))
-    cand_pos, cand_h, med, _height, _gated = peak_candidates_batch(
+    cand_pos, cand_h, med, _height, _gated, deep = peak_candidates_batch(
         jnp.asarray(smoothed), jnp.asarray(lens), tile=tile)
     peaks = select_peaks_host(np.asarray(cand_pos), np.asarray(cand_h),
                               int(min_dist))
+    deep = np.asarray(deep)
+    sm_np = np.asarray(smoothed)
+    lens_np = np.asarray(lens)
     K = max_peaks
     pos = np.full((B, K), L, dtype=np.int32)
     n = np.zeros(B, dtype=np.int32)
     for b, p in enumerate(peaks):
+        if deep[b]:
+            p, _m = ref_call_peaks(sm_np[b, :lens_np[b]].astype(np.float64),
+                                   int(min_dist))
         k = min(len(p), K)
         pos[b, :k] = p[:k]
         n[b] = k

@@ -298,7 +298,7 @@ class TpuBackend:
                 self.mesh,
                 (P("data", None), P("data"), P(None, None)),
                 (P("data"), P("data"), P("data", None),
-                 P("data", None), P("data")))
+                 P("data", None), P("data"), P("data")))
             self._sharded_fns[key] = jax.jit(fn)
         return self._sharded_fns[key]
 
@@ -430,13 +430,28 @@ class TpuBackend:
                 else:
                     res = locate_device(R, lens, S, tile=tile)
                 launches.append((chunk, res))
-        for chunk, (combo, score, cand_pos, cand_h, _med) in launches:
+        deep_rerun: list[int] = []
+        for chunk, (combo, score, cand_pos, cand_h, _med, deep) in launches:
             combo, score = np.asarray(combo), np.asarray(score)
             peaks = select_peaks_host(np.asarray(cand_pos),
                                       np.asarray(cand_h), int(min_dist))
+            deep = np.asarray(deep)
             for r, i in enumerate(chunk):
                 out[i] = LocateResult(int(combo[r]), int(score[r]),
                                       peaks[r].astype(np.int64))
+                if deep[r]:
+                    deep_rerun.append(i)
+        if deep_rerun:
+            # a tile held >2 surviving maxima — the one case where the
+            # top-2 compaction can diverge from scipy's selection: rerun
+            # those reads through the exact host path (never observed on
+            # real data; counted so it is not silent)
+            from ..utils import prof
+            prof.current.count("peaks_deep_host_rerun", len(deep_rerun))
+            host = NumpyBackend()
+            for i, r in zip(deep_rerun, host.locate_many(
+                    [reads[i] for i in deep_rerun], combos, min_dist)):
+                out[i] = r
         return out
 
     # ---------------- adapters (postprocessing) ----------------

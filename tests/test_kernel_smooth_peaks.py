@@ -77,6 +77,34 @@ def test_call_peaks_batch_gates_junk():
     assert int(np.asarray(n)[0]) == 0
 
 
+def test_call_peaks_batch_three_deep_chain():
+    """Constructed 3-deep elimination chain INSIDE one tile: the tile's
+    top-2 candidates are both eliminated by stronger peaks in adjacent
+    tiles, and only the tile's THIRD candidate survives scipy's
+    selection.  The per-read deep flag must trigger the exact host
+    rerun, making the device path scipy-exact (closes PARITY.md §9)."""
+    from c3poa_tpu.kernels.peaks import peak_candidates_batch
+
+    L, dist = 128, 33          # tile_for_distance(33) == 32
+    x = np.zeros((1, L), dtype=np.float32)
+    # tile [32, 64): c1@33 h50, c2@62 h40, c3@48 h30 (the survivor)
+    # neighbors: n1@10 h60 (tile 0) kills c1; n2@90 h55 (tile 2) kills c2
+    for p, h in [(10, 60), (33, 50), (48, 30), (62, 40), (90, 55)]:
+        x[0, p] = h
+    lens = np.array([L], dtype=np.int32)
+
+    want, _ = ref_peaks.call_peaks(x[0].astype(np.float64), dist)
+    assert list(want) == [10, 48, 90]  # the chain really is 3-deep
+
+    # the detector must fire for this row
+    *_rest, deep = peak_candidates_batch(x, lens, tile=32)
+    assert bool(np.asarray(deep)[0])
+
+    pos, n, _ = call_peaks_batch(x, lens, dist)
+    pos, n = np.asarray(pos), np.asarray(n)
+    np.testing.assert_array_equal(pos[0, :n[0]], want)
+
+
 def test_call_peaks_batch_plateaus_and_ties():
     # synthetic rows with plateaus and equal-height peaks
     L = 256
