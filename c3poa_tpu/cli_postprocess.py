@@ -53,6 +53,18 @@ def parse_args(argv=None):
     parser.add_argument("--mesh_devices", type=str, default="auto",
                         help="Accelerator chips for this process: 'auto' "
                              "(all local), '1', or a count (see cli).")
+    parser.add_argument("--coordinator", type=str, default=None,
+                        help="Multi-host: coordinator address "
+                             "(host:port) for jax.distributed.")
+    parser.add_argument("--num_processes", type=int, default=1,
+                        help="Multi-host: total number of host processes; "
+                             "read groups shard round-robin and host 0 "
+                             "merges the per-host trees byte-identically "
+                             "to a single-host run (the reference "
+                             "parallelizes postprocessing too, "
+                             "C3POa_postprocessing.py:128-216).")
+    parser.add_argument("--process_id", type=int, default=None,
+                        help="Multi-host: this process's index.")
     parser.add_argument("--version", "-v", action="version", version=VERSION)
 
     if argv is None and len(sys.argv) == 1:
@@ -70,13 +82,23 @@ def main(argv=None):
     if args.undirectional and args.barcoded:
         print("Error: undirectional and barcoded are mutually exclusive.")
         sys.exit(1)
+    process_index, process_count = 0, 1
+    if args.num_processes > 1:
+        from .parallel.dist import initialize
+        process_index, process_count = initialize(
+            args.coordinator, args.num_processes, args.process_id)
     from .cli import pick_backend
-    backend = pick_backend(args.backend, args.mesh_devices)
+    # 'auto' meshes all local chips only in single-process runs (see cli)
+    mesh_devices = args.mesh_devices
+    if process_count > 1 and mesh_devices == "auto":
+        mesh_devices = "1"
+    backend = pick_backend(args.backend, mesh_devices)
     cfg = PostprocessConfig(
         undirectional=args.undirectional, trim=args.trim,
         barcoded=args.barcoded, group_size=args.groupSize,
         threads=args.threads, compress=args.compress_output,
-        resume=args.resume)
+        resume=args.resume,
+        process_index=process_index, process_count=process_count)
     stats = run_postprocess(args.input_fasta_file, args.output_path,
                             args.adapter_file, args.index_file, cfg, backend)
     print(f"postprocessed: {stats.written}/{stats.total} written "

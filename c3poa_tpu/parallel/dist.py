@@ -95,12 +95,15 @@ def allreduce_stats(values: dict) -> dict:
     return {k: int(v) for k, v in zip(keys, out)}
 
 
-def _host_spans(host_dir: str) -> list[tuple[int, str, int, int]]:
+def _host_spans(host_dir: str, manifest: str = MANIFEST
+                ) -> list[tuple[int, str, int, int]]:
     """Per-group byte spans for one host: [(gi, relfile, start, end)].
 
     Reconstructed by diffing the cumulative per-file sizes recorded in
-    the host's progress manifest after each group."""
-    path = os.path.join(host_dir, MANIFEST)
+    the host's progress manifest after each group.  ``manifest`` selects
+    which progress file to read (the consensus pipeline's and the
+    postprocessor's manifests share the span_groups schema)."""
+    path = os.path.join(host_dir, manifest)
     if not os.path.exists(path):
         return []
     m = json.load(open(path))
@@ -118,18 +121,21 @@ def _host_spans(host_dir: str) -> list[tuple[int, str, int, int]]:
 
 def merge_host_outputs(out_path: str, process_count: int,
                        splints: list[str] | None = None,
-                       compress: bool = False) -> None:
+                       compress: bool = False,
+                       manifest: str = MANIFEST) -> None:
     """Merge per-host output trees (out/host_<h>/...) into the single-host
     layout, interleaving per-group byte spans by global group index — the
     merged files are byte-identical to a single-host run.  ``compress``
-    gzips the merged outputs (host trees are always written plain)."""
+    gzips the merged outputs (host trees are always written plain).
+    ``manifest`` selects the span manifest (consensus pipeline vs
+    postprocessor)."""
     import gzip
 
     del splints  # discovered from the span manifests
     events: list = []  # (gi, host, rel, start, end)
     for h in range(process_count):
         host_dir = os.path.join(out_path, f"host_{h}")
-        for gi, rel, start, end in _host_spans(host_dir):
+        for gi, rel, start, end in _host_spans(host_dir, manifest):
             events.append((gi, h, rel, start, end))
     events.sort(key=lambda e: e[0])
 
@@ -139,7 +145,8 @@ def merge_host_outputs(out_path: str, process_count: int,
             if rel not in handles:
                 dst = os.path.join(out_path, rel)
                 os.makedirs(os.path.dirname(dst), exist_ok=True)
-                if compress:
+                if compress and not rel.endswith(".tsv"):
+                    # .tsv stays plain, matching _Writers._open
                     handles[rel] = gzip.open(dst + ".gz", "wb")
                 else:
                     handles[rel] = open(dst, "wb")

@@ -55,6 +55,11 @@ class PostprocessConfig:
                                   # reference's PSL-cache role,
                                   # C3POa_postprocessing.py:231)
     score_min: int = 10           # BLAT matches>10 analogue
+    # multi-host (same recipe as the consensus pipeline, parallel/dist.py):
+    # host h owns groups gi % process_count == h, writes under
+    # out/host_<h>/, and host 0 merges byte spans by group index
+    process_index: int = 0
+    process_count: int = 1
 
 
 class AdapterHit(NamedTuple):
@@ -326,6 +331,17 @@ def run_postprocess(input_fasta: str, out_path: str, adapter_fasta: str,
     if backend is None:
         from .backend import NumpyBackend
         backend = NumpyBackend()
+
+    # multi-host: this host works under out/host_<h>/ on its round-robin
+    # share of the groups (reference parallelizes postprocessing too,
+    # C3POa_postprocessing.py:128-216); host trees are written plain and
+    # compressed (if asked) at merge, where spans interleave by group
+    multihost = cfg.process_count > 1
+    root_out = out_path
+    final_compress = cfg.compress
+    if multihost:
+        out_path = os.path.join(out_path, f"host_{cfg.process_index}")
+        cfg = dataclasses.replace(cfg, compress=False)
     os.makedirs(out_path, exist_ok=True)
 
     adapters = [(r.name, r.seq) for r in read_fastx(adapter_fasta)]
@@ -349,6 +365,7 @@ def run_postprocess(input_fasta: str, out_path: str, adapter_fasta: str,
     manifest_path = os.path.join(out_path, MANIFEST)
     skip_groups = 0
     restore_sizes = None
+    span_groups: list = []   # multihost: per-group cumulative file sizes
     if cfg.resume and not cfg.compress:
         if os.path.exists(manifest_path):
             try:
@@ -358,40 +375,51 @@ def run_postprocess(input_fasta: str, out_path: str, adapter_fasta: str,
             if m and m.get("key") == key:
                 skip_groups = m["groups_done"]
                 restore_sizes = m["files"]
+                span_groups = m.get("span_groups", [])
                 for f, v in m["stats"].items():
                     setattr(stats, f, v)
 
     writers = _Writers(out_path, cfg.compress, restore_sizes)
     progress = Progress("c3poa-postprocess")
 
+    def mine(gi):
+        """Does this host own 0-based group gi?"""
+        return gi % cfg.process_count == cfg.process_index
+
     def checkpoint(gi):
         if not cfg.compress:
+            sizes = writers.sizes()
+            if multihost:
+                span_groups.append({"gi": gi, "sizes": sizes})
             with open(manifest_path, "w") as fh:
-                json.dump({"key": key, "groups_done": gi,
-                           "files": writers.sizes(),
-                           "stats": dataclasses.asdict(stats)}, fh)
+                json.dump({"key": key, "groups_done": gi + 1,
+                           "files": sizes,
+                           "stats": dataclasses.asdict(stats),
+                           "span_groups": span_groups}, fh)
 
     use_mp = cfg.threads > 1 and not getattr(backend, "supports_overlap",
                                              False)
     try:
         if use_mp:
             import multiprocessing as mp
+            from collections import deque
 
             ctx = mp.get_context("spawn")
+            owned_gis: deque = deque()  # imap preserves submission order
 
             def payloads():
                 for gi, group in enumerate(_read_groups(input_fasta,
                                                         cfg.group_size)):
-                    if gi < skip_groups:
+                    if gi < skip_groups or not mine(gi):
                         continue
+                    owned_gis.append(gi)
                     yield (group, combo_meta, combo_codes, cfg,
                            idx_to_seq, seq_to_idx)
 
-            gi = skip_groups
             with ctx.Pool(cfg.threads) as pool:
                 for blobs, wstats in pool.imap(_post_group_worker,
                                                payloads()):
-                    gi += 1
+                    gi = owned_gis.popleft()
                     for rel, text in blobs.items():
                         writers._open(*rel.split("/")).write(text)
                     for f, v in wstats.items():
@@ -401,15 +429,28 @@ def run_postprocess(input_fasta: str, out_path: str, adapter_fasta: str,
         else:
             for gi, group in enumerate(_read_groups(input_fasta,
                                                     cfg.group_size)):
-                if gi < skip_groups:
+                if gi < skip_groups or not mine(gi):
                     continue
                 _process_group(group, combo_meta, combo_codes, cfg, backend,
                                writers, idx_to_seq, seq_to_idx, stats)
                 progress.update(len(group))
-                checkpoint(gi + 1)
+                checkpoint(gi)
     finally:
         progress.close()
         writers.close()
+
+    if multihost:
+        from ..parallel import dist
+
+        # the collective doubles as the completion barrier: when it
+        # returns, every host has closed its output files
+        totals = dist.allreduce_stats(dataclasses.asdict(stats))
+        gstats = PostprocessStats(**totals)
+        if cfg.process_index == 0:
+            dist.merge_host_outputs(root_out, cfg.process_count,
+                                    compress=final_compress,
+                                    manifest=MANIFEST)
+        return gstats
     return stats
 
 
