@@ -296,12 +296,12 @@ def _resume_key(input_fasta, adapter_fasta, index_fasta,
 def _post_group_worker(payload):
     """Runs in a worker process (numpy backend only — no jax import)."""
     from .backend import NumpyBackend
-    group, combo_meta, combo_codes, cfg, idx_to_seq, seq_to_idx = payload
+    gi, group, combo_meta, combo_codes, cfg, idx_to_seq, seq_to_idx = payload
     stats = PostprocessStats()
     writers = _MemWriters()
     _process_group(group, combo_meta, combo_codes, cfg, NumpyBackend(),
                    writers, idx_to_seq, seq_to_idx, stats)
-    return writers.blobs(), dataclasses.asdict(stats)
+    return gi, writers.blobs(), dataclasses.asdict(stats)
 
 
 def _read_groups(path: str, group_size: int):
@@ -401,31 +401,26 @@ def run_postprocess(input_fasta: str, out_path: str, adapter_fasta: str,
                                              False)
     try:
         if use_mp:
-            import multiprocessing as mp
-            from collections import deque
-
-            ctx = mp.get_context("spawn")
-            owned_gis: deque = deque()  # imap preserves submission order
+            # fault-surfacing fan-out: worker exceptions and abrupt
+            # worker deaths raise here instead of dropping groups
+            from ..utils.procpool import imap_strict
 
             def payloads():
                 for gi, group in enumerate(_read_groups(input_fasta,
                                                         cfg.group_size)):
                     if gi < skip_groups or not mine(gi):
                         continue
-                    owned_gis.append(gi)
-                    yield (group, combo_meta, combo_codes, cfg,
+                    yield (gi, group, combo_meta, combo_codes, cfg,
                            idx_to_seq, seq_to_idx)
 
-            with ctx.Pool(cfg.threads) as pool:
-                for blobs, wstats in pool.imap(_post_group_worker,
-                                               payloads()):
-                    gi = owned_gis.popleft()
-                    for rel, text in blobs.items():
-                        writers._open(*rel.split("/")).write(text)
-                    for f, v in wstats.items():
-                        setattr(stats, f, getattr(stats, f) + v)
-                    progress.update(wstats["total"])
-                    checkpoint(gi)
+            for gi, blobs, wstats in imap_strict(_post_group_worker,
+                                                 payloads(), cfg.threads):
+                for rel, text in blobs.items():
+                    writers._open(*rel.split("/")).write(text)
+                for f, v in wstats.items():
+                    setattr(stats, f, getattr(stats, f) + v)
+                progress.update(wstats["total"])
+                checkpoint(gi)
         else:
             for gi, group in enumerate(_read_groups(input_fasta,
                                                     cfg.group_size)):

@@ -398,10 +398,14 @@ def _run_groups_mp(reads_path, combos, cfg, writers, stats, filter_stats,
                    skip_groups, mine, checkpoint, profiler, progress):
     """CPU multiprocessing: whole read groups fan out to worker processes
     (spawn, like the reference C3POa.py:279); the parent writes returned
-    blobs in group order, keeping deterministic output."""
-    import multiprocessing as mp
+    blobs in group order, keeping deterministic output.
 
-    ctx = mp.get_context("spawn")
+    Failures are LOUD (utils/procpool.imap_strict): a worker exception
+    re-raises here naming the group, and an abruptly-dead worker
+    (SIGKILL/OOM) raises WorkerDied instead of hanging or silently
+    dropping the group — the reference's silent-loss bug
+    (C3POa.py:245-248) explicitly improved on."""
+    from ..utils.procpool import imap_strict
 
     def payloads():
         gi = 0
@@ -412,19 +416,19 @@ def _run_groups_mp(reads_path, combos, cfg, writers, stats, filter_stats,
                 continue
             yield gi, group, combos, cfg
 
-    with ctx.Pool(cfg.num_threads) as pool:
-        for gi, blobs, wstats in pool.imap(_group_worker, payloads()):
-            for splint, (cons_txt, subs_txt) in blobs.items():
-                cons_fh, subs_fh = writers.get(splint)
-                cons_fh.write(cons_txt)
-                subs_fh.write(subs_txt)
-            stats.total_reads += wstats["total_reads"]
-            stats.no_splint += wstats["no_splint"]
-            stats.consensus_written += wstats["consensus_written"]
-            profiler.count("reads", wstats["total_reads"])
-            stats.short_reads = filter_stats.short_reads
-            progress.update(wstats["total_reads"])
-            checkpoint(gi)
+    for gi, blobs, wstats in imap_strict(_group_worker, payloads(),
+                                         cfg.num_threads):
+        for splint, (cons_txt, subs_txt) in blobs.items():
+            cons_fh, subs_fh = writers.get(splint)
+            cons_fh.write(cons_txt)
+            subs_fh.write(subs_txt)
+        stats.total_reads += wstats["total_reads"]
+        stats.no_splint += wstats["no_splint"]
+        stats.consensus_written += wstats["consensus_written"]
+        profiler.count("reads", wstats["total_reads"])
+        stats.short_reads = filter_stats.short_reads
+        progress.update(wstats["total_reads"])
+        checkpoint(gi)
 
 
 def _locate_group(group, combos, cfg: PipelineConfig, backend):
