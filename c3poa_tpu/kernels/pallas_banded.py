@@ -276,14 +276,159 @@ def _kernel(ql_ref, tl_ref, q_ref, t_ref, mvp_ref, score_ref, jend_ref,
         jend_ref[:] = lof + k_end
 
 
+def _kernel_sb(ql_ref, tl_ref, q_ref, t_ref, mvp_ref, score_ref, jend_ref,
+               H_s, E_s, buf_s, lo_s, *, match, mismatch, gap_open,
+               gap_ext, W, nq, nt, levels, P_TILE, RC8, NC):
+    """Super-block variant of ``_kernel``: the fori_loop body is EIGHT
+    8-row blocks (64 rows) unrolled, with every per-block conditional
+    turned static:
+
+    - the query window is restocked once per super-block with one
+      dynamic roll and read at static lanes (no per-block lax.cond and
+      no per-block qbuf roll);
+    - the staged-target refill runs unconditionally at local blocks 0
+      and 4 (the same every-4-blocks cadence, minus the cond);
+    - the 8 finished move words are stacked and stored once per
+      super-block (no per-block (P,8,W) slot-select, no pl.when flush).
+
+    This attacks the measured ~8 us FIXED per-block serial cost the
+    p_tile sweep isolated (BENCHMARKS.md): loop/cond/select machinery,
+    not DP math.  Identical math and word layout to ``_kernel``;
+    bit-parity tested in interpret mode and byte-parity gated on
+    hardware (tools/hwcheck.py C3POA_ALIGN_SB=0,1)."""
+    oe = gap_open + gap_ext
+    e = gap_ext
+    ql = ql_ref[:].astype(jnp.int32)          # (P_t, 1)
+    tl = tl_ref[:].astype(jnp.int32)
+    karr = jax.lax.broadcasted_iota(jnp.int32, (P_TILE, W), 1)
+    Q = q_ref[:].astype(jnp.int32)            # (P_t, nq)
+    T = t_ref[:].astype(jnp.int32)            # (P_t, nt)
+    ci = pl.program_id(1)                     # row-chunk index (sequential)
+    lo_of = band_lo_fn(ql, tl, W)
+
+    def refill(buf, lo_i):
+        """Restock buf[:, W:] with t[a + W .. a + W + STAGE), a = lo_i - 1."""
+        rows = []
+        for p in range(P_TILE):
+            a_p = lo_i[p, 0] - 1
+            start = a_p + W
+            sh = (nt - start % nt) % nt
+            rolled = pltpu.roll(T[p:p + 1, :], shift=sh, axis=1)
+            rows.append(rolled[:, :STAGE])
+        stage = jnp.concatenate(rows, axis=0) if P_TILE > 1 else rows[0]
+        off = jax.lax.broadcasted_iota(jnp.int32, (P_TILE, STAGE), 1)
+        pos = (lo_i - 1 + W) + off
+        stage = jnp.where((pos < 0) | (pos >= tl), 4, stage)
+        return jnp.concatenate([buf[:, :W], stage], axis=1)
+
+    @pl.when(ci == 0)
+    def _init():
+        lo0 = band_lo_fn(ql, tl, W)(jnp.int32(0))
+        in_band0 = (lo0 + karr) <= tl
+        H_s[:] = jnp.where(in_band0, 0, NEG)
+        E_s[:] = jnp.full((P_TILE, W), NEG, dtype=jnp.int32)
+        buf_s[:] = jnp.concatenate(
+            [jnp.full((P_TILE, 1), 4, dtype=jnp.int32),
+             T[:, :W + STAGE - 1]], axis=1)
+        lo_s[:] = lo0
+
+    def row_step(i, qc, st, do_refill):
+        H, E, buf, lo_prev = st
+        lo_i = lo_of(i)
+        s = lo_i - lo_prev                                   # (P_t, 1)
+        Hd = _sel_shift(H, s, -1, NEG)
+        Hp = jnp.where(karr == W - 1,
+                       jnp.where(s == 0, H[:, W - 1:W], NEG),
+                       pltpu.roll(Hd, shift=W - 1, axis=1))
+        Ep = _sel_shift(E, s, 0, NEG)
+        buf = _sel_shift(buf, s, 0, 4)
+        if do_refill:
+            buf = refill(buf, lo_i)
+        tc = buf[:, :W]
+        sub = jnp.where((qc == 4) | (tc == 4), 0,
+                        jnp.where(qc == tc, match, mismatch))
+
+        jcol = lo_i + karr
+        En = jnp.maximum(Hp - oe, Ep - e)
+        eext = (Ep - e) > (Hp - oe)
+        diag = jnp.where(jcol >= 1, Hd + sub, NEG)
+        Ht = jnp.maximum(diag, En)
+        A = Ht + e * karr
+        d = 1
+        for _ in range(levels):
+            sh = pltpu.roll(A, shift=d, axis=1)
+            sh = jnp.where(karr >= d, sh, NEG)
+            A = jnp.maximum(A, sh)
+            d *= 2
+        F = jnp.where(karr >= 1,
+                      pltpu.roll(A, shift=1, axis=1) - oe - e * karr + e,
+                      NEG)
+        fprev = jnp.where(karr >= 1, pltpu.roll(F, shift=1, axis=1), NEG)
+        htprev = jnp.where(karr >= 1, pltpu.roll(Ht, shift=1, axis=1),
+                           NEG)
+        fext = (karr >= 1) & ((fprev - e) > (htprev - oe))
+        Hn = jnp.maximum(Ht, F)
+        src = jnp.where((diag >= En) & (diag >= F), 0,
+                        jnp.where(En >= F, 1, 2))
+        mv = (src | (eext.astype(jnp.int32) << 2) |
+              (fext.astype(jnp.int32) << 3))
+
+        in_band = jcol <= tl
+        Hn = jnp.where(in_band, Hn, NEG)
+        En = jnp.where(in_band, En, NEG)
+        mv = jnp.where(in_band, mv, 0)
+
+        active = i <= ql
+        H = jnp.where(active, Hn, Hp)
+        E = jnp.where(active, En, Ep)
+        return (H, E, buf, lo_i), mv
+
+    def sblock(sb, carry):
+        i0 = 64 * sb + 1
+        # invariant: qbuf[:, v] == q[i0 - 1 + v] for v in [0, 64)
+        qsh = (nq - (64 * sb) % nq) % nq
+        qbuf = pltpu.roll(Q, shift=qsh, axis=1)[:, :64]
+        st = carry
+        packs = []
+        for bl in range(8):
+            pack = None
+            for u in range(8):
+                v = 8 * bl + u
+                st, mv = row_step(i0 + v, qbuf[:, v:v + 1], st,
+                                  do_refill=(u == 0 and bl % 4 == 0))
+                pack = mv if u == 0 else pack | (mv << (4 * u))
+            packs.append(pack)
+        base = pl.multiple_of(8 * sb - ci * RC8, 8)
+        mvp_ref[:, pl.ds(base, 8), :] = jnp.stack(packs, axis=1)
+        return st
+
+    nb = jnp.minimum((jnp.max(ql) + 7) // 8, nq // 8)
+    nb8 = ((nb + 7) // 8) * 8
+    b_st = ci * RC8
+    b_en = jnp.clip(nb8, b_st, b_st + RC8)
+    carry0 = (H_s[:], E_s[:], buf_s[:], lo_s[:])
+    Hf, Ef, buff, lof = jax.lax.fori_loop(b_st // 8, b_en // 8, sblock,
+                                          carry0)
+    H_s[:], E_s[:], buf_s[:], lo_s[:] = Hf, Ef, buff, lof
+
+    @pl.when(ci == NC - 1)
+    def _final():
+        mx = jnp.max(Hf, axis=1, keepdims=True)
+        score_ref[:] = mx
+        k_end = jnp.min(jnp.where(Hf == mx, karr, W), axis=1,
+                        keepdims=True)
+        jend_ref[:] = lof + k_end
+
+
 @functools.partial(jax.jit, static_argnames=(
     "band", "match", "mismatch", "gap_open", "gap_ext", "interpret",
-    "p_tile", "nh"))
+    "p_tile", "nh", "superblock"))
 def banded_fwd_pallas_packed(queries, targets, q_lens, t_lens,
                              band: int = 128, match: int = 5,
                              mismatch: int = -4, gap_open: int = 4,
                              gap_ext: int = 2, interpret: bool = False,
-                             p_tile: int = P_TILE, nh: int = 1):
+                             p_tile: int = P_TILE, nh: int = 1,
+                             superblock: bool = False):
     """Forward pass: returns (scores (P,), j_end (P,),
     packed moves (P, nq_pad/8, W) int32 — row i's move byte is nibble
     (i-1) % 8 of word (i-1)//8).
@@ -337,14 +482,28 @@ def banded_fwd_pallas_packed(queries, targets, q_lens, t_lens,
     NC = nq // RCHUNK
     if P_TILE % (8 * nh):
         raise ValueError(f"p_tile {P_TILE} not divisible by 8*nh ({8 * nh})")
-    kernel = functools.partial(
-        _kernel, match=match, mismatch=mismatch, gap_open=gap_open,
-        gap_ext=gap_ext, W=W, nq=nq, nt=nt, levels=levels, P_TILE=P_TILE,
-        RC8=RC8, NC=NC, NH=nh)
     ql = q_lens.astype(jnp.int32).reshape(P, 1)
     tl = t_lens.astype(jnp.int32).reshape(P, 1)
     nP = P // P_TILE
     nq8 = nq // 8
+    common = dict(match=match, mismatch=mismatch, gap_open=gap_open,
+                  gap_ext=gap_ext, W=W, nq=nq, nt=nt, levels=levels,
+                  P_TILE=P_TILE, RC8=RC8, NC=NC)
+    scratch = [
+        pltpu.VMEM((P_TILE, W), jnp.int32),            # H
+        pltpu.VMEM((P_TILE, W), jnp.int32),            # E
+        pltpu.VMEM((P_TILE, W + STAGE), jnp.int32),    # target window
+    ]
+    if superblock:
+        # super-blocks are 64 rows; RCHUNK is a multiple of 64, so chunk
+        # boundaries always align and the query window needs no
+        # cross-chunk carry
+        kernel = functools.partial(_kernel_sb, **common)
+        scratch += [pltpu.VMEM((P_TILE, 1), jnp.int32)]            # lo_prev
+    else:
+        kernel = functools.partial(_kernel, NH=nh, **common)
+        scratch += [pltpu.VMEM((P_TILE, QW), jnp.int32),   # query window
+                    pltpu.VMEM((P_TILE, 1), jnp.int32)]    # lo_prev
     mvp, score, jend = pl.pallas_call(
         kernel,
         grid=(nP, NC),
@@ -371,13 +530,7 @@ def banded_fwd_pallas_packed(queries, targets, q_lens, t_lens,
             jax.ShapeDtypeStruct((P, 1), jnp.int32),
             jax.ShapeDtypeStruct((P, 1), jnp.int32),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((P_TILE, W), jnp.int32),            # H
-            pltpu.VMEM((P_TILE, W), jnp.int32),            # E
-            pltpu.VMEM((P_TILE, W + STAGE), jnp.int32),    # target window
-            pltpu.VMEM((P_TILE, QW), jnp.int32),           # query window
-            pltpu.VMEM((P_TILE, 1), jnp.int32),            # lo_prev
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(ql, tl, queries, targets)
     return score[:P_orig, 0], jend[:P_orig, 0], mvp[:P_orig]
@@ -386,13 +539,14 @@ def banded_fwd_pallas_packed(queries, targets, q_lens, t_lens,
 def banded_fwd_pallas(queries, targets, q_lens, t_lens, band: int = 128,
                       match: int = 5, mismatch: int = -4, gap_open: int = 4,
                       gap_ext: int = 2, interpret: bool = False,
-                      p_tile: int = P_TILE, nh: int = 1):
+                      p_tile: int = P_TILE, nh: int = 1,
+                      superblock: bool = False):
     """Compatibility wrapper: unpacked (P, nq, W) uint8 moves (tests)."""
     P, nq = queries.shape
     score, jend, mvp = banded_fwd_pallas_packed(
         queries, targets, q_lens, t_lens, band=band, match=match,
         mismatch=mismatch, gap_open=gap_open, gap_ext=gap_ext,
-        interpret=interpret, p_tile=p_tile, nh=nh)
+        interpret=interpret, p_tile=p_tile, nh=nh, superblock=superblock)
     nq8 = mvp.shape[1]
     rows = []
     for nib in range(8):
@@ -403,12 +557,13 @@ def banded_fwd_pallas(queries, targets, q_lens, t_lens, band: int = 128,
 
 @functools.partial(jax.jit, static_argnames=(
     "band", "match", "mismatch", "gap_open", "gap_ext", "interpret",
-    "p_tile", "nh"))
+    "p_tile", "nh", "superblock"))
 def banded_align_trace_pallas(queries, targets, q_lens, t_lens,
                               band: int = 128, match: int = 5,
                               mismatch: int = -4, gap_open: int = 4,
                               gap_ext: int = 2, interpret: bool = False,
-                              p_tile: int = P_TILE, nh: int = 1):
+                              p_tile: int = P_TILE, nh: int = 1,
+                              superblock: bool = False):
     """Pallas forward + the reverse-walk scan on packed move words.
 
     Same contract as kernels.banded.banded_align_trace_batch:
@@ -418,14 +573,14 @@ def banded_align_trace_pallas(queries, targets, q_lens, t_lens,
     scores, j_end, mvp = banded_fwd_pallas_packed(
         queries, targets, q_lens, t_lens, band=band, match=match,
         mismatch=mismatch, gap_open=gap_open, gap_ext=gap_ext,
-        interpret=interpret, p_tile=p_tile, nh=nh)
+        interpret=interpret, p_tile=p_tile, nh=nh, superblock=superblock)
     j_f, i_f, ops = walk_ops_packed(mvp, q_lens, t_lens, j_end, band)
     return scores, j_end, j_f, i_f, ops
 
 
 @functools.partial(jax.jit, static_argnames=(
     "band", "match", "mismatch", "gap_open", "gap_ext", "interpret",
-    "p_tile", "shrink", "nh", "wide_walk"))
+    "p_tile", "shrink", "nh", "wide_walk", "superblock"))
 def banded_align_trace_pallas_cached(queries, targets, q_lens, t_lens,
                                      band: int = 128, match: int = 5,
                                      mismatch: int = -4, gap_open: int = 4,
@@ -433,7 +588,8 @@ def banded_align_trace_pallas_cached(queries, targets, q_lens, t_lens,
                                      interpret: bool = False,
                                      p_tile: int = P_TILE,
                                      shrink: int = 5, nh: int = 1,
-                                     wide_walk: bool = False):
+                                     wide_walk: bool = False,
+                                     superblock: bool = False):
     """Pallas forward + the word-cached walk (kernels.banded
     walk_ops_cached).  Returns (scores, j_end, j_start, i_rem,
     packed_ops) — ops are 2-bit packed with gaps; consume with
@@ -443,7 +599,7 @@ def banded_align_trace_pallas_cached(queries, targets, q_lens, t_lens,
     scores, j_end, mvp = banded_fwd_pallas_packed(
         queries, targets, q_lens, t_lens, band=band, match=match,
         mismatch=mismatch, gap_open=gap_open, gap_ext=gap_ext,
-        interpret=interpret, p_tile=p_tile, nh=nh)
+        interpret=interpret, p_tile=p_tile, nh=nh, superblock=superblock)
     # wide halves the serial gather chain per substep, but hits/gather
     # cap below 2x (column drift + word-row crossings over 16 substeps):
     # shrink+2 keeps every pair completing at nanopore error rates
