@@ -42,6 +42,53 @@ def mutate(rng: np.random.Generator, seq: str, sub: float, ins: float, dele: flo
     return "".join(out)
 
 
+def mutate_with_quals(rng: np.random.Generator, seq: str, sub: float,
+                      ins: float, dele: float, q_spread: float = 6.0):
+    """Quality-CORRELATED error channel: each base draws a latent phred
+    quality and its error probability derives from it (p = 10^(-q/10),
+    rescaled so the batch's mean error rate is exactly sub+ins+dele), so
+    errors land preferentially on low-quality bases and the emitted
+    qualities carry real signal about where they are — as in nanopore
+    data.  ``mutate`` + independent N(20,4) quals deliberately lacks this
+    signal, which makes any 2-copy quality-aware merge a coin flip
+    (BENCHMARKS.md); this channel is what the reference's gap-run
+    quality rule (bin/consensus.py:21-42) exists for.
+
+    Returns (read_str, qual int8 array aligned to read_str).  Inserted
+    bases inherit the local latent quality (insertions cluster in
+    low-quality stretches)."""
+    total = sub + ins + dele
+    if total <= 0:
+        q = np.clip(rng.normal(30, q_spread, size=len(seq)), 2, 40)
+        return seq, q.astype(np.int8)
+    n = len(seq)
+    q_center = -10.0 * np.log10(total)
+    q = np.clip(rng.normal(q_center, q_spread, size=n), 3.0, 40.0)
+    p = 10.0 ** (-q / 10.0)
+    p *= total / p.mean()             # calibrate the mean error rate
+    p = np.clip(p, 0.0, 0.95)
+    f_del, f_sub = dele / total, sub / total
+    bases = "ACGT"
+    out: list = []
+    quals: list = []
+    for i, ch in enumerate(seq):
+        pi = float(p[i])
+        qi = int(round(q[i]))
+        r = rng.random()
+        if r < pi * f_del:
+            continue
+        if r < pi * (f_del + f_sub):
+            out.append(bases[int(rng.integers(0, 4))])
+            quals.append(qi)
+        else:
+            out.append(ch)
+            quals.append(qi)
+        while rng.random() < pi * (1.0 - f_del - f_sub):
+            out.append(bases[int(rng.integers(0, 4))])
+            quals.append(qi)
+    return "".join(out), np.asarray(quals, dtype=np.int8)
+
+
 @dataclasses.dataclass
 class SimRead:
     name: str

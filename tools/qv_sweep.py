@@ -23,12 +23,15 @@ from c3poa_tpu.ref.lev import levenshtein  # noqa: E402
 from c3poa_tpu.utils.seqs import decode, encode, phred_to_array  # noqa: E402
 
 
-def subreads_for(rng, insert, copies, error):
+def subreads_for(rng, insert, copies, error, correlated=False):
     sub, ins, dele = error * 0.5, error * 0.25, error * 0.25
     out = []
     for _ in range(copies):
-        s = sim.mutate(rng, insert, sub, ins, dele)
-        q = np.clip(rng.normal(20, 4, size=len(s)), 2, 40).astype(np.int8)
+        if correlated:
+            s, q = sim.mutate_with_quals(rng, insert, sub, ins, dele)
+        else:
+            s = sim.mutate(rng, insert, sub, ins, dele)
+            q = np.clip(rng.normal(20, 4, size=len(s)), 2, 40).astype(np.int8)
         out.append((encode(s), q))
     return out
 
@@ -39,7 +42,11 @@ def qv(errors, bases):
     return -10.0 * math.log10(errors / bases)
 
 
-def sweep(n_mol=8, insert_len=1000, error=0.06, seed=7):
+def sweep(n_mol=8, insert_len=1000, error=0.06, seed=7, correlated=False):
+    if correlated:
+        print("# quality-CORRELATED error channel (sim.mutate_with_quals):"
+              "\n# errors land on low-quality bases, so quality-aware"
+              " merges have real signal")
     print(f"{'copies':>7} {'mode':>9} {'errors':>7} {'bases':>7} {'QV':>6}")
     for copies in (2, 3, 5, 8):
         for pairwise in (False, True):
@@ -48,7 +55,7 @@ def sweep(n_mol=8, insert_len=1000, error=0.06, seed=7):
             errs = bases = 0
             for _ in range(n_mol):
                 insert = sim.random_seq(rng, insert_len)
-                subs = subreads_for(rng, insert, copies, error)
+                subs = subreads_for(rng, insert, copies, error, correlated)
                 cons, _ = consensus_read(
                     [s for s, _ in subs], [q for _, q in subs], [], [], p)
                 errs += levenshtein(decode(cons), insert)
@@ -63,14 +70,20 @@ def sweep(n_mol=8, insert_len=1000, error=0.06, seed=7):
         for _ in range(n_mol):
             insert = sim.random_seq(rng, insert_len)
             cut = int(insert_len * 0.6)
-            tail = sim.mutate(rng, insert[-cut:], error * 0.5, error * 0.25,
-                              error * 0.25)
-            head = sim.mutate(rng, insert[:cut], error * 0.5, error * 0.25,
-                              error * 0.25)
-            # raw read = [tail frag][splint][head frag]; fragment 0 = 5' part
-            s0, s1 = encode(tail), encode(head)
-            q0 = np.clip(rng.normal(20, 4, size=len(s0)), 2, 40).astype(np.int8)
-            q1 = np.clip(rng.normal(20, 4, size=len(s1)), 2, 40).astype(np.int8)
+            e3 = (error * 0.5, error * 0.25, error * 0.25)
+            if correlated:
+                tail, q0 = sim.mutate_with_quals(rng, insert[-cut:], *e3)
+                head, q1 = sim.mutate_with_quals(rng, insert[:cut], *e3)
+                s0, s1 = encode(tail), encode(head)
+            else:
+                tail = sim.mutate(rng, insert[-cut:], *e3)
+                head = sim.mutate(rng, insert[:cut], *e3)
+                # raw read = [tail][splint][head]; fragment 0 = 5' part
+                s0, s1 = encode(tail), encode(head)
+                q0 = np.clip(rng.normal(20, 4, size=len(s0)), 2,
+                             40).astype(np.int8)
+                q1 = np.clip(rng.normal(20, 4, size=len(s1)), 2,
+                             40).astype(np.int8)
             cons, _ = zero_repeat_consensus(s0, q0, s1, q1, p)
             if len(cons):
                 errs += levenshtein(decode(cons), insert)
@@ -80,6 +93,7 @@ def sweep(n_mol=8, insert_len=1000, error=0.06, seed=7):
 
 
 if __name__ == "__main__":
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    il = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
-    sweep(n, il)
+    args = [a for a in sys.argv[1:] if a != "--correlated"]
+    n = int(args[0]) if len(args) > 0 else 8
+    il = int(args[1]) if len(args) > 1 else 1000
+    sweep(n, il, correlated="--correlated" in sys.argv)
