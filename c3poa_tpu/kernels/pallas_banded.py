@@ -278,7 +278,7 @@ def _kernel(ql_ref, tl_ref, q_ref, t_ref, mvp_ref, score_ref, jend_ref,
 
 def _kernel_sb(ql_ref, tl_ref, q_ref, t_ref, mvp_ref, score_ref, jend_ref,
                H_s, E_s, buf_s, lo_s, *, match, mismatch, gap_open,
-               gap_ext, W, nq, nt, levels, P_TILE, RC8, NC):
+               gap_ext, W, nq, nt, levels, P_TILE, RC8, NC, FOLD):
     """Super-block variant of ``_kernel``: the fori_loop body is EIGHT
     8-row blocks (64 rows) unrolled, with every per-block conditional
     turned static:
@@ -336,12 +336,32 @@ def _kernel_sb(ql_ref, tl_ref, q_ref, t_ref, mvp_ref, score_ref, jend_ref,
         H, E, buf, lo_prev = st
         lo_i = lo_of(i)
         s = lo_i - lo_prev                                   # (P_t, 1)
-        Hd = _sel_shift(H, s, -1, NEG)
-        Hp = jnp.where(karr == W - 1,
-                       jnp.where(s == 0, H[:, W - 1:W], NEG),
-                       pltpu.roll(Hd, shift=W - 1, axis=1))
-        Ep = _sel_shift(E, s, 0, NEG)
-        buf = _sel_shift(buf, s, 0, 4)
+        if FOLD:
+            # one fused shift of [H | E | buf] instead of three
+            # _sel_shifts: 1/3 the op count on ~equal tile traffic —
+            # pays when per-op Mosaic overhead dominates (it did for
+            # the profile kernel's fat tiles).  Seam lanes (k >= W - s)
+            # received the next segment's head and are re-masked to the
+            # out-of-band fill; Hd is recovered from the fused Hp with
+            # one roll + a lane-0 fix (H[s-1] via a 3-way (P,1) select).
+            M = jnp.concatenate([H, E, buf], axis=1)
+            Ms = _sel_shift(M, s, 0, 4)
+            seam = karr >= (W - s)
+            Hp = jnp.where(seam, NEG, Ms[:, :W])
+            Ep = jnp.where(seam, NEG, Ms[:, W:2 * W])
+            buf = Ms[:, 2 * W:]
+            lane0 = jnp.where(s == 1, M[:, 0:1],
+                              jnp.where(s == 2, M[:, 1:2],
+                                        jnp.where(s == 3, M[:, 2:3], NEG)))
+            Hd = jnp.where(karr == 0, lane0,
+                           pltpu.roll(Hp, shift=1, axis=1))
+        else:
+            Hd = _sel_shift(H, s, -1, NEG)
+            Hp = jnp.where(karr == W - 1,
+                           jnp.where(s == 0, H[:, W - 1:W], NEG),
+                           pltpu.roll(Hd, shift=W - 1, axis=1))
+            Ep = _sel_shift(E, s, 0, NEG)
+            buf = _sel_shift(buf, s, 0, 4)
         if do_refill:
             buf = refill(buf, lo_i)
         tc = buf[:, :W]
@@ -422,13 +442,13 @@ def _kernel_sb(ql_ref, tl_ref, q_ref, t_ref, mvp_ref, score_ref, jend_ref,
 
 @functools.partial(jax.jit, static_argnames=(
     "band", "match", "mismatch", "gap_open", "gap_ext", "interpret",
-    "p_tile", "nh", "superblock"))
+    "p_tile", "nh", "superblock", "fold"))
 def banded_fwd_pallas_packed(queries, targets, q_lens, t_lens,
                              band: int = 128, match: int = 5,
                              mismatch: int = -4, gap_open: int = 4,
                              gap_ext: int = 2, interpret: bool = False,
                              p_tile: int = P_TILE, nh: int = 1,
-                             superblock: bool = False):
+                             superblock: bool = False, fold: bool = False):
     """Forward pass: returns (scores (P,), j_end (P,),
     packed moves (P, nq_pad/8, W) int32 — row i's move byte is nibble
     (i-1) % 8 of word (i-1)//8).
@@ -498,7 +518,7 @@ def banded_fwd_pallas_packed(queries, targets, q_lens, t_lens,
         # super-blocks are 64 rows; RCHUNK is a multiple of 64, so chunk
         # boundaries always align and the query window needs no
         # cross-chunk carry
-        kernel = functools.partial(_kernel_sb, **common)
+        kernel = functools.partial(_kernel_sb, FOLD=fold, **common)
         scratch += [pltpu.VMEM((P_TILE, 1), jnp.int32)]            # lo_prev
     else:
         kernel = functools.partial(_kernel, NH=nh, **common)
@@ -540,13 +560,14 @@ def banded_fwd_pallas(queries, targets, q_lens, t_lens, band: int = 128,
                       match: int = 5, mismatch: int = -4, gap_open: int = 4,
                       gap_ext: int = 2, interpret: bool = False,
                       p_tile: int = P_TILE, nh: int = 1,
-                      superblock: bool = False):
+                      superblock: bool = False, fold: bool = False):
     """Compatibility wrapper: unpacked (P, nq, W) uint8 moves (tests)."""
     P, nq = queries.shape
     score, jend, mvp = banded_fwd_pallas_packed(
         queries, targets, q_lens, t_lens, band=band, match=match,
         mismatch=mismatch, gap_open=gap_open, gap_ext=gap_ext,
-        interpret=interpret, p_tile=p_tile, nh=nh, superblock=superblock)
+        interpret=interpret, p_tile=p_tile, nh=nh, superblock=superblock,
+        fold=fold)
     nq8 = mvp.shape[1]
     rows = []
     for nib in range(8):
@@ -580,7 +601,7 @@ def banded_align_trace_pallas(queries, targets, q_lens, t_lens,
 
 @functools.partial(jax.jit, static_argnames=(
     "band", "match", "mismatch", "gap_open", "gap_ext", "interpret",
-    "p_tile", "shrink", "nh", "wide_walk", "superblock"))
+    "p_tile", "shrink", "nh", "wide_walk", "superblock", "fold"))
 def banded_align_trace_pallas_cached(queries, targets, q_lens, t_lens,
                                      band: int = 128, match: int = 5,
                                      mismatch: int = -4, gap_open: int = 4,
@@ -589,7 +610,8 @@ def banded_align_trace_pallas_cached(queries, targets, q_lens, t_lens,
                                      p_tile: int = P_TILE,
                                      shrink: int = 5, nh: int = 1,
                                      wide_walk: bool = False,
-                                     superblock: bool = False):
+                                     superblock: bool = False,
+                                     fold: bool = False):
     """Pallas forward + the word-cached walk (kernels.banded
     walk_ops_cached).  Returns (scores, j_end, j_start, i_rem,
     packed_ops) — ops are 2-bit packed with gaps; consume with
@@ -599,7 +621,8 @@ def banded_align_trace_pallas_cached(queries, targets, q_lens, t_lens,
     scores, j_end, mvp = banded_fwd_pallas_packed(
         queries, targets, q_lens, t_lens, band=band, match=match,
         mismatch=mismatch, gap_open=gap_open, gap_ext=gap_ext,
-        interpret=interpret, p_tile=p_tile, nh=nh, superblock=superblock)
+        interpret=interpret, p_tile=p_tile, nh=nh, superblock=superblock,
+        fold=fold)
     # wide halves the serial gather chain per substep, but hits/gather
     # cap below 2x (column drift + word-row crossings over 16 substeps):
     # shrink+2 keeps every pair completing at nanopore error rates

@@ -242,13 +242,16 @@ def _align_trace_impl(Q, T, ql, tl, *, band, match, mismatch, gap_open,
         # C3POA_ALIGN_SB=1: super-block forward (64 unrolled rows per
         # loop iteration, zero per-block conds/selects — attacks the
         # measured ~8us fixed per-block cost; kernels/pallas_banded.py
-        # _kernel_sb).  Off until the on-hardware A/B + byte-parity gate
-        # (tools/pipe_ab.py, tools/hwcheck.py) lands.
-        sb = os.environ.get("C3POA_ALIGN_SB", "0") == "1"
+        # _kernel_sb).  C3POA_ALIGN_FOLD=1 (implies SB): one fused
+        # [H|E|buf] shift per row instead of three _sel_shifts (1/3 the
+        # shift op count).  Both off until the on-hardware A/B +
+        # byte-parity gate (tools/pipe_ab.py, tools/hwcheck.py) lands.
+        fold = os.environ.get("C3POA_ALIGN_FOLD", "0") == "1"
+        sb = fold or os.environ.get("C3POA_ALIGN_SB", "0") == "1"
         return banded_align_trace_pallas_cached(
             Q, T, ql, tl, band=band, match=match, mismatch=mismatch,
             gap_open=gap_open, gap_ext=gap_ext, p_tile=pt, nh=nh,
-            wide_walk=wide, superblock=sb), True
+            wide_walk=wide, superblock=sb, fold=fold), True
     return banded_align_trace_batch(
         Q, T, ql, tl, band=band, match=match, mismatch=mismatch,
         gap_open=gap_open, gap_ext=gap_ext), False

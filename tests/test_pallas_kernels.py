@@ -82,10 +82,12 @@ def test_pallas_profile_fat_tiles():
 import pytest
 
 
-@pytest.mark.parametrize("p_tile,nh,sb", [
-    (16, 1, False), (32, 1, False), (16, 2, False), (32, 4, False),
-    (8, 1, True), (16, 1, True), (32, 1, True)])
-def test_pallas_banded_fwd_matches_xla(p_tile, nh, sb):
+@pytest.mark.parametrize("p_tile,nh,sb,fold", [
+    (16, 1, False, False), (32, 1, False, False), (16, 2, False, False),
+    (32, 4, False, False),
+    (8, 1, True, False), (16, 1, True, False), (32, 1, True, False),
+    (8, 1, True, True), (16, 1, True, True)])
+def test_pallas_banded_fwd_matches_xla(p_tile, nh, sb, fold):
     rng = np.random.default_rng(1)
     P, nq, nt, W = 8, 512, 512, 64
     Q = np.full((P, nq), 4, np.int8)
@@ -102,7 +104,8 @@ def test_pallas_banded_fwd_matches_xla(p_tile, nh, sb):
         ql[p] = len(q)
     s1, j1, m1 = banded_align_batch(Q, T, ql, tl, band=W)
     s2, j2, m2 = banded_fwd_pallas(Q, T, ql, tl, band=W, interpret=True,
-                                   p_tile=p_tile, nh=nh, superblock=sb)
+                                   p_tile=p_tile, nh=nh, superblock=sb,
+                                   fold=fold)
     np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
     np.testing.assert_array_equal(np.asarray(j1), np.asarray(j2))
     m1a, m2a = np.asarray(m1), np.asarray(m2)
