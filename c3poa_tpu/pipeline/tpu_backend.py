@@ -248,6 +248,10 @@ def _align_trace_impl(Q, T, ql, tl, *, band, match, mismatch, gap_open,
         # byte-parity gate (tools/pipe_ab.py, tools/hwcheck.py) lands.
         fold = os.environ.get("C3POA_ALIGN_FOLD", "0") == "1"
         sb = fold or os.environ.get("C3POA_ALIGN_SB", "0") == "1"
+        if fold:
+            # the fused [H|E|buf] temps push p_tile=64 past the 16 MB
+            # scoped-VMEM limit (measured 16.95M at nq=1536); 48 fits
+            pt = min(pt, 48)
         return banded_align_trace_pallas_cached(
             Q, T, ql, tl, band=band, match=match, mismatch=mismatch,
             gap_open=gap_open, gap_ext=gap_ext, p_tile=pt, nh=nh,
