@@ -125,15 +125,26 @@ def banded_align(q, t, match=5, mismatch=-4, gap_open=4, gap_ext=2, band=128):
         s_row = s[q[i - 1], t]  # length nt, for columns 1..nt
         diag = np.concatenate(([NEG], Hprev[:-1] + s_row))
         Ht = np.maximum(diag, Ecur)
-        # F via prefix max: F[j] = max(Ht[j-1]-oe, F[j-1]-e)
-        A = Ht + e * jidx
+        # F via prefix max: F[j] = max(Htm[j-1]-oe, F[j-1]-e), where Htm
+        # is Ht CLIPPED TO THE BAND: F-gap chains cannot enter row i's
+        # band from columns left of lo(i).  Columns [lo(i-1), lo(i))
+        # hold real Ht values (they were in the previous row's band), but
+        # letting F chain in from them puts traceback steps on cells the
+        # band declares unreachable — the walk would leave the band (the
+        # device kernels' band-local layout cannot even express that,
+        # and the round-3 C-aligner crash traced to exactly this).  The
+        # band-edge clip IS the spec; every implementation (this file,
+        # kernels/banded.py scan, pallas, native/align.c, dpbench.c)
+        # shares it bit-for-bit.
+        Htm = np.where(in_band, Ht, NEG)
+        A = Htm + e * jidx
         cm = np.maximum.accumulate(A)
-        F = np.concatenate(([NEG], cm[:-1])) - oe - e * jidx + e  # = max_{t<j}(Ht[t]-oe-e*(j-1-t))... see below
-        # Derivation: F[j] = max_{u<j} (Ht[u] - oe - e*(j-1-u))
-        #           = (max_{u<j} (Ht[u] + e*u)) - oe - e*(j-1)
+        F = np.concatenate(([NEG], cm[:-1])) - oe - e * jidx + e  # = max_{t<j}(Htm[t]-oe-e*(j-1-t))... see below
+        # Derivation: F[j] = max_{u<j} (Htm[u] - oe - e*(j-1-u))
+        #           = (max_{u<j} (Htm[u] + e*u)) - oe - e*(j-1)
         fext = np.zeros(nt + 1, dtype=bool)
         if nt >= 1:
-            fext[1:] = (F[:-1] - e) > (Ht[:-1] - oe)
+            fext[1:] = (F[:-1] - e) > (Htm[:-1] - oe)
         H = np.maximum(Ht, F)
         src = np.where((diag >= Ecur) & (diag >= F), SRC_DIAG,
                        np.where(Ecur >= F, SRC_E, SRC_F)).astype(np.uint8)

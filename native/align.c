@@ -87,12 +87,13 @@ int64_t c3_align_moves(const int8_t *q, int32_t nq, const int8_t *t,
         const int8_t qc = q[i - 1];
         uint8_t *mrow = moves + (size_t)(i - 1) * (size_t)W;
 
-        /* F can enter the band carrying real score only from columns of
-         * the previous row's band: walk virtually from there */
-        int64_t js = band_lo_a(i - 1, nq, nt, W);
-        if (js > lo) js = lo;
+        /* F-gap chains cannot enter the band from columns left of
+         * lo(i): the spec clips F at the band edge (ref/banded.py row
+         * comment) so traceback paths never leave the band — the
+         * band-local walk (c3_traceback) depends on it. */
+        int64_t js = lo;
         int64_t F = NEG_A - oe + e;     /* numpy's F[0] constant */
-        int64_t Ht_prev = NEG_A;        /* Ht[j-1] */
+        int64_t Ht_prev = NEG_A;        /* Htm[j-1]: NEG left of band */
         for (int64_t j = js; j < end; j++) {
             int64_t Ev = Hp[j] - oe;
             int64_t Ee = Ep[j] - e;

@@ -67,13 +67,11 @@ int64_t c3_dp_score(const int8_t *q, int64_t nq, const int8_t *t, int64_t nt,
         win_end[1] = end;
 
         const int8_t qc = q[i - 1];
-        /* gap runs (F) may enter the band from columns covered by the
-         * previous row's band but left of this row's (the numpy rows
-         * compute those cells too, then mask them): walk them virtually */
-        int64_t js = (i == 1) ? lo : band_lo(i - 1, nq, nt, band);
-        if (js > lo) js = lo;
+        /* F-gap chains are clipped at the band edge (the spec:
+         * ref/banded.py row comment) — F starts NEG at j = lo */
+        int64_t js = lo;
         int64_t F = NEG;
-        int64_t Hleft = NEG;              /* H[i][j-1], virtual or stored */
+        int64_t Hleft = NEG;              /* H[i][j-1], NEG left of band */
         for (int64_t j = js; j < end; j++) {
             int64_t Ev = Hp[j] - oe;
             int64_t Ee = Ep[j] - e;

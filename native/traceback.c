@@ -61,10 +61,17 @@ int32_t c3_traceback(
     int32_t i = nq, j = j_end, state = 0;
     while (i > 0) {
         int32_t k = j - band_lo(i, nq, nt, W);
+        if (k < 0 || k >= W || j < 0) {
+            /* a path can only get here on corrupt move input (the
+             * band-edge F clip guarantees real paths stay in band):
+             * stop rather than walk outside the buffers */
+            break;
+        }
         uint8_t mv = moves[(size_t)(i - 1) * W + k];
         if (state == 0) {
             int src = mv & 3;
             if (src == SRC_DIAG) {
+                if (j < 1) break;            /* corrupt input guard */
                 cover[j - 1] = 1;
                 base[j - 1] = q[i - 1];
                 qpos[j - 1] = i - 1;
@@ -81,6 +88,7 @@ int32_t c3_traceback(
             i--;
             if (!ext) state = 0;
         } else {
+            if (j < 1) break;                /* corrupt input guard */
             cover[j - 1] = 2;
             int ext = mv & BIT_FEXT;
             j--;

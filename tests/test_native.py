@@ -92,6 +92,37 @@ def test_dp_score_c_matches_numpy():
         assert (s_c, j_c) == (int(s_np), int(j_np)), (nq, nt, band)
 
 
+def test_band_edge_f_clip_consistent_and_no_crash():
+    """High-error long pairs (the shape that exposed the round-3 crash):
+    F-gap chains must be clipped at the band edge in EVERY
+    implementation — numpy spec, XLA scan, and the C aligner must agree
+    on scores, and the C traceback must stay inside its buffers (the
+    unclipped spec let walks exit the band: heap corruption)."""
+    from c3poa_tpu import sim
+    from c3poa_tpu.kernels.banded import banded_align_trace_batch
+    from c3poa_tpu.ref.banded import align_and_trace
+    from c3poa_tpu.utils.seqs import encode
+
+    rng = np.random.default_rng(11)
+    for trial in range(6):
+        n = int(rng.integers(2000, 5000))
+        t = sim.random_seq(rng, n)
+        q = sim.mutate(rng, t, 0.04, 0.02, 0.02)
+        qa, ta = encode(q), encode(t)
+        rec = align_and_trace(qa, ta, band=128)
+        s, je, _js, ir, _ops = banded_align_trace_batch(
+            qa[None, :], ta[None, :],
+            np.array([len(qa)], np.int32), np.array([len(ta)], np.int32),
+            band=128)
+        assert int(np.asarray(s)[0]) == rec.score, trial
+        assert int(np.asarray(ir)[0]) == 0
+        if hasattr(native.get_lib() or 0, "c3_align_moves"):
+            rc = native.align_and_trace_c(qa, ta, band=128)
+            assert rc.score == rec.score, trial
+            np.testing.assert_array_equal(rc.cover, rec.cover)
+            np.testing.assert_array_equal(rc.ins_len, rec.ins_len)
+
+
 def test_align_and_trace_c_matches_numpy():
     """native/align.c full aligner (forward moves + C traceback +
     normalization) emits records bit-identical to ref.banded
