@@ -51,6 +51,19 @@ class ConsensusParams:
     gap_open: int = 4
     gap_ext: int = 2
     band: int = 128
+    # Fast band for CORE subread<->draft pairs (full-draft targets):
+    # these follow the length-interpolated diagonal tightly, and W=64
+    # measured 0 score/record divergences over 450 bench/stress-shaped
+    # pairs vs W=128 while costing half the forward cells.  Safety net:
+    # any fast-band pair whose traceback visits band-local column 0 or
+    # W-1 (the only geometry where a wider band could matter) is
+    # realigned at ``band`` — the escalation rule is part of the spec
+    # and identical in every backend, so outputs stay byte-identical
+    # across numpy/scan/pallas.  Dangling/windowed pairs always use
+    # ``band`` (anchored windows do not track the interpolated
+    # diagonal; W=64 measurably hurt them).  -1 = resolve from
+    # C3POA_FAST_BAND (default 64); 0 disables.
+    fast_band: int = -1
     qmin: int = 5
     # 1 = single vote of core + dangling subreads against the medoid draft
     # (the racon shape: one polish pass against a backbone).  Measured more
@@ -88,6 +101,23 @@ def _vote_pool():
     return _VOTE_POOL
 
 
+def resolve_fast_band(p: "ConsensusParams") -> int:
+    """Host-level fast-band resolution (see ConsensusParams.fast_band).
+    Returns the band to use for core full-draft pairs (p.band when the
+    feature is off or would not shrink the band)."""
+    import os
+    fb = p.fast_band
+    if fb < 0:
+        fb = int(os.environ.get("C3POA_FAST_BAND", "64"))
+    if fb <= 0 or fb >= p.band:
+        return p.band
+    return fb
+
+
+def _pair_band(pair, p: "ConsensusParams") -> int:
+    return pair[3] if len(pair) > 3 else p.band
+
+
 def serial_align_many(pairs, p: ConsensusParams) -> list[SubreadAln]:
     """CPU aligner (the TPU backend substitutes a batched device one).
 
@@ -96,20 +126,36 @@ def serial_align_many(pairs, p: ConsensusParams) -> list[SubreadAln]:
     faster — this is what makes the CPU backend (and therefore the
     recorded proxy baseline, bench.py) reference-C-grade rather than a
     numpy strawman (round-2 verdict).  C3POA_CPU_C_ALIGN=0 or a missing
-    native library falls back to the numpy rows of ref/banded.py."""
+    native library falls back to the numpy rows of ref/banded.py.
+
+    Pairs may carry a 4th element: the per-pair band (fast-band core
+    pairs).  A fast-band pair whose path touches the band edge is
+    realigned at p.band — the same escalation rule the device backends
+    apply, so every backend emits identical records."""
     import os
     use_c = os.environ.get("C3POA_CPU_C_ALIGN", "1") != "0"
     out = []
-    for query, qual, draft in pairs:
-        rec = None
-        if use_c:
-            rec = native.align_and_trace_c(
-                query, draft, match=p.match, mismatch=p.mismatch,
-                gap_open=p.gap_open, gap_ext=p.gap_ext, band=p.band)
-        if rec is None:
-            rec = banded.align_and_trace(
-                query, draft, match=p.match, mismatch=p.mismatch,
-                gap_open=p.gap_open, gap_ext=p.gap_ext, band=p.band)
+    for pair in pairs:
+        query, qual, draft = pair[0], pair[1], pair[2]
+        band = _pair_band(pair, p)
+        while True:
+            rec = edge = None
+            if use_c:
+                got = native.align_and_trace_c(
+                    query, draft, match=p.match, mismatch=p.mismatch,
+                    gap_open=p.gap_open, gap_ext=p.gap_ext, band=band,
+                    with_edge=True)
+                if got is not None:
+                    rec, edge = got
+            if rec is None:
+                rec, edge = banded.align_and_trace(
+                    query, draft, match=p.match, mismatch=p.mismatch,
+                    gap_open=p.gap_open, gap_ext=p.gap_ext, band=band,
+                    with_edge=True)
+            if edge and band < p.band:
+                band = p.band       # escalate: path touched the edge
+                continue
+            break
         out.append(SubreadAln(rec, np.asarray(query, dtype=np.int8),
                               np.asarray(qual, dtype=np.int8)))
     return out
@@ -179,6 +225,7 @@ def consensus_prepare(jobs: Sequence[ConsensusJob],
     # exactly once against its backbone, bin/determine_consensus.py:92).
     from ..utils import prof
     single_round = p.rounds == 1
+    fast_band = resolve_fast_band(p)   # resolved once per group
     pairs, meta = [], []  # meta: (owner, window_offset, full_nt)
     _t_pairs = prof.current.stage("pairs_build")
     _t_pairs.__enter__()
@@ -204,7 +251,9 @@ def consensus_prepare(jobs: Sequence[ConsensusJob],
             if win is None:
                 continue
             target, offset = win
-            pairs.append((codes, quals, target))
+            band = fast_band if (not is_dangling and
+                                 offset == 0) else p.band
+            pairs.append((codes, quals, target, band))
             meta.append((ji, offset, len(draft)))
         cons[ji] = ("draft", di)  # placeholder until vote
     _t_pairs.__exit__(None, None, None)

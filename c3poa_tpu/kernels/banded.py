@@ -219,7 +219,10 @@ def walk_ops_packed(mvp: jax.Array, q_lens: jax.Array, t_lens: jax.Array,
 
     mvp: (P, nq_pad/8, W) int32 from the Pallas forward — row i's move
     byte is nibble (i-1) % 8 of word (i-1)//8.  Same walk as
-    banded_align_trace_batch; returns (j_start, i_rem, ops)."""
+    banded_align_trace_batch; returns (j_start, i_rem, ops, edge) —
+    ``edge`` flags pairs whose path visited band-local column 0 or
+    W-1 (the fast-band escalation signal, see ConsensusParams
+    .fast_band)."""
     P, nq8, W = mvp.shape
     nq_max = nq8 * 8
     q_lens = q_lens.astype(jnp.int32)
@@ -229,9 +232,10 @@ def walk_ops_packed(mvp: jax.Array, q_lens: jax.Array, t_lens: jax.Array,
     lo_of = band_lo_fn(q_lens, t_lens, W)
 
     def walk(carry, _):
-        i, j, st = carry
+        i, j, st, edge = carry
         active = i > 0
         k = j - lo_of(i)
+        edge = edge | (active & ((k == 0) | (k == W - 1)))
         im1 = jnp.clip(i - 1, 0, nq_max - 1)
         flat = (im1 // 8) * W + jnp.clip(k, 0, W - 1)
         word = mvp_flat[parr, flat]
@@ -254,7 +258,7 @@ def walk_ops_packed(mvp: jax.Array, q_lens: jax.Array, t_lens: jax.Array,
             jnp.where(is_f & f_ext, 2, 0)).astype(jnp.int32)
         st_next = jnp.where(active, st_next, st)
         return (i - dec_i.astype(jnp.int32),
-                j - dec_j.astype(jnp.int32), st_next), op
+                j - dec_j.astype(jnp.int32), st_next, edge), op
 
     UNROLL = 4
     n_steps = -(-(nq_max + W + 64) // UNROLL)
@@ -266,10 +270,12 @@ def walk_ops_packed(mvp: jax.Array, q_lens: jax.Array, t_lens: jax.Array,
             opss.append(op)
         return carry, jnp.stack(opss, axis=1)
 
-    init = (q_lens, j_end.astype(jnp.int32), jnp.zeros(P, dtype=jnp.int32))
-    (i_f, j_f, _st), ops = jax.lax.scan(walk_u, init, None, length=n_steps)
+    init = (q_lens, j_end.astype(jnp.int32), jnp.zeros(P, dtype=jnp.int32),
+            jnp.zeros(P, dtype=bool))
+    (i_f, j_f, _st, edge), ops = jax.lax.scan(walk_u, init, None,
+                                              length=n_steps)
     ops = jnp.transpose(ops, (1, 0, 2)).reshape(P, n_steps * UNROLL)
-    return j_f, i_f, ops
+    return j_f, i_f, ops, edge
 
 
 @partial(jax.jit, static_argnames=("band", "shrink", "wide"))
@@ -293,7 +299,10 @@ def walk_ops_cached(mvp: jax.Array, q_lens: jax.Array, t_lens: jax.Array,
     gathers; pairs that exhaust it finish with ``i_rem > 0`` and the
     caller realigns them on the host, exactly like pathological paths
     under the plain walk.  Returns (j_start, i_rem, packed_ops
-    (P, n_iters*2) uint8).
+    (P, n_iters*2) uint8, edge) — ``edge`` flags pairs whose path
+    visited band-local column 0 or W-1 (identical accumulation to the
+    plain walk: only applied/hit substeps count, and every visited cell
+    is eventually a hit).
 
     ``wide``: also cache word-row m_c - 1 (a (P, 6) gather — columns
     k_c +- 1 of both word rows) and run 16 substeps per gather: i only
@@ -313,10 +322,11 @@ def walk_ops_cached(mvp: jax.Array, q_lens: jax.Array, t_lens: jax.Array,
     nsub = 16 if wide else 8
 
     def substep(carry, w3, m_c, k_c):
-        i, j, st = carry
+        i, j, st, edge = carry
         active = i > 0
         im1 = jnp.clip(i - 1, 0, nq_max - 1)
-        k = jnp.clip(j - lo_of(i), 0, W - 1)
+        k_raw = j - lo_of(i)
+        k = jnp.clip(k_raw, 0, W - 1)
         d = k - k_c
         m = im1 // 8
         if wide:
@@ -345,11 +355,12 @@ def walk_ops_cached(mvp: jax.Array, q_lens: jax.Array, t_lens: jax.Array,
             is_e & ((mv & 4) != 0), 1,
             jnp.where(is_f & ((mv & 8) != 0), 2, 0)).astype(jnp.int32)
         st_next = jnp.where(hit, st_next, st)
+        edge = edge | (hit & ((k_raw == 0) | (k_raw == W - 1)))
         return (i - dec_i.astype(jnp.int32),
-                j - dec_j.astype(jnp.int32), st_next), op
+                j - dec_j.astype(jnp.int32), st_next, edge), op
 
     def iteration(carry, _):
-        i, j, _st = carry
+        i, j, _st, _edge = carry
         im1 = jnp.clip(i - 1, 0, nq_max - 1)
         m_c = im1 // 8
         k_c = jnp.clip(j - lo_of(i), 0, W - 1)
@@ -372,9 +383,10 @@ def walk_ops_cached(mvp: jax.Array, q_lens: jax.Array, t_lens: jax.Array,
         return carry, acc
 
     n_iters = -(-(nq_max + band + 64) // shrink)
-    init = (q_lens, j_end.astype(jnp.int32), jnp.zeros(P, dtype=jnp.int32))
-    (i_f, j_f, _st), opsw = jax.lax.scan(iteration, init, None,
-                                         length=n_iters)
+    init = (q_lens, j_end.astype(jnp.int32), jnp.zeros(P, dtype=jnp.int32),
+            jnp.zeros(P, dtype=bool))
+    (i_f, j_f, _st, edge), opsw = jax.lax.scan(iteration, init, None,
+                                               length=n_iters)
     # (n_iters, P) int32 -> (P, n_iters * nsub//4) uint8, byte b of each
     # word holding ops 4b..4b+3 — the same flat little-endian 2-bit
     # stream the consumers always read.
@@ -382,7 +394,7 @@ def walk_ops_cached(mvp: jax.Array, q_lens: jax.Array, t_lens: jax.Array,
     bytes_ = [(opsw >> (8 * b)) & 0xFF for b in range(nsub // 4)]
     ops = jnp.stack(bytes_, axis=2).reshape(
         P, n_iters * (nsub // 4)).astype(jnp.uint8)
-    return j_f, i_f, ops
+    return j_f, i_f, ops, edge
 
 
 def unpack_ops_packed(row: np.ndarray) -> np.ndarray:
@@ -412,7 +424,8 @@ def banded_align_trace_batch(queries: jax.Array, targets: jax.Array,
     path_length <= nq + nt steps.
 
     Returns (scores (P,), j_end (P,), j_start (P,), i_rem (P,),
-    ops (P, n_ops) uint8 in walk order, i.e. from the path end backwards).
+    ops (P, n_ops) uint8 in walk order (from the path end backwards),
+    edge (P,) bool — path visited band-local column 0 or W-1).
 
     The walk runs nq_max + W + 64 steps, not nq_max + nt_max: the path
     consumes exactly ql query chars (diag+ins) and its deletions are
@@ -437,9 +450,10 @@ def banded_align_trace_batch(queries: jax.Array, targets: jax.Array,
     lo_of = band_lo_fn(q_lens, t_lens, W)
 
     def walk(carry, _):
-        i, j, st = carry
+        i, j, st, edge = carry
         active = i > 0
         k = j - lo_of(i)
+        edge = edge | (active & ((k == 0) | (k == W - 1)))
         flat = (jnp.clip(i - 1, 0, nq_max - 1)) * W + jnp.clip(k, 0, W - 1)
         mv = moves_flat[parr, flat].astype(jnp.int32)
         src = mv & 3
@@ -460,7 +474,7 @@ def banded_align_trace_batch(queries: jax.Array, targets: jax.Array,
             jnp.where(is_f & f_ext, 2, 0)).astype(jnp.int32)
         st_next = jnp.where(active, st_next, st)
         return (i - dec_i.astype(jnp.int32),
-                j - dec_j.astype(jnp.int32), st_next), op
+                j - dec_j.astype(jnp.int32), st_next, edge), op
 
     # unrolled walk: same per-step-overhead amortization as the forward scan
     UNROLL = 4
@@ -474,10 +488,11 @@ def banded_align_trace_batch(queries: jax.Array, targets: jax.Array,
         return carry, jnp.stack(opss, axis=1)                # (P, U)
 
     init = (q_lens, j_end.astype(jnp.int32),
-            jnp.zeros(P, dtype=jnp.int32))
-    (i_f, j_f, _st), ops = jax.lax.scan(walk_u, init, None, length=n_steps)
+            jnp.zeros(P, dtype=jnp.int32), jnp.zeros(P, dtype=bool))
+    (i_f, j_f, _st, edge), ops = jax.lax.scan(walk_u, init, None,
+                                              length=n_steps)
     ops = jnp.transpose(ops, (1, 0, 2)).reshape(P, n_steps * UNROLL)
-    return scores, j_end, j_f, i_f, ops
+    return scores, j_end, j_f, i_f, ops, edge
 
 
 def ops_to_record(q: np.ndarray, t: np.ndarray, ops: np.ndarray,

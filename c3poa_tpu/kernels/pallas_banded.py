@@ -588,15 +588,15 @@ def banded_align_trace_pallas(queries, targets, q_lens, t_lens,
     """Pallas forward + the reverse-walk scan on packed move words.
 
     Same contract as kernels.banded.banded_align_trace_batch:
-    returns (scores, j_end, j_start, i_rem, ops)."""
+    returns (scores, j_end, j_start, i_rem, ops, edge)."""
     from .banded import walk_ops_packed
 
     scores, j_end, mvp = banded_fwd_pallas_packed(
         queries, targets, q_lens, t_lens, band=band, match=match,
         mismatch=mismatch, gap_open=gap_open, gap_ext=gap_ext,
         interpret=interpret, p_tile=p_tile, nh=nh, superblock=superblock)
-    j_f, i_f, ops = walk_ops_packed(mvp, q_lens, t_lens, j_end, band)
-    return scores, j_end, j_f, i_f, ops
+    j_f, i_f, ops, edge = walk_ops_packed(mvp, q_lens, t_lens, j_end, band)
+    return scores, j_end, j_f, i_f, ops, edge
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -614,7 +614,7 @@ def banded_align_trace_pallas_cached(queries, targets, q_lens, t_lens,
                                      fold: bool = False):
     """Pallas forward + the word-cached walk (kernels.banded
     walk_ops_cached).  Returns (scores, j_end, j_start, i_rem,
-    packed_ops) — ops are 2-bit packed with gaps; consume with
+    packed_ops, edge) — ops are 2-bit packed with gaps; consume with
     native.ops_record(s)(_batch)(packed=True) or unpack_ops_packed."""
     from .banded import walk_ops_cached
 
@@ -627,7 +627,7 @@ def banded_align_trace_pallas_cached(queries, targets, q_lens, t_lens,
     # cap below 2x (column drift + word-row crossings over 16 substeps):
     # shrink+2 keeps every pair completing at nanopore error rates
     # (12% arms in tests) while still cutting iterations ~1.4x.
-    j_f, i_f, ops = walk_ops_cached(
+    j_f, i_f, ops, edge = walk_ops_cached(
         mvp, q_lens, t_lens, j_end, band,
         shrink=shrink + 2 if wide_walk else shrink, wide=wide_walk)
-    return scores, j_end, j_f, i_f, ops
+    return scores, j_end, j_f, i_f, ops, edge

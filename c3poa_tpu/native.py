@@ -78,6 +78,12 @@ def get_lib():
         u8p, i32, i32, i8p, i32, i32, i32,
         i8p, i8p, i32p, i32p, i32p,
     ]
+    try:
+        lib.c3_traceback_edge.restype = i32
+        lib.c3_traceback_edge.argtypes = \
+            lib.c3_traceback.argtypes + [ctypes.POINTER(i32)]
+    except AttributeError:  # stale .so without the edge symbol
+        pass
     lib.c3_normalize.restype = None
     lib.c3_normalize.argtypes = [i8p, i8p, i32, i8p, i8p, i32p, i32p, i32p]
     lib.c3_ops_record.restype = i32
@@ -531,7 +537,8 @@ def dp_score_c(q: np.ndarray, t: np.ndarray, match=5, mismatch=-4,
 # ---------------- scalar-C full aligner (CPU backend hot path) ----------
 
 def align_and_trace_c(q: np.ndarray, t: np.ndarray, match=5, mismatch=-4,
-                      gap_open=4, gap_ext=2, band=128, normalize=True):
+                      gap_open=4, gap_ext=2, band=128, normalize=True,
+                      with_edge=False):
     """C fast path for ref.banded.align_and_trace: scalar-C banded
     forward with band-local move bytes (native/align.c), then the C
     traceback + homopolymer normalization (traceback.c).  Bit-identical
@@ -540,7 +547,8 @@ def align_and_trace_c(q: np.ndarray, t: np.ndarray, match=5, mismatch=-4,
     (BENCHMARKS.md).  Returns an AlignRecord or None when the library
     lacks the symbol."""
     lib = get_lib()
-    if lib is None or not hasattr(lib, "c3_align_moves"):
+    if lib is None or not hasattr(lib, "c3_align_moves") or \
+            not hasattr(lib, "c3_traceback_edge"):
         return None
     from .ref.banded import AlignRecord
 
@@ -563,13 +571,17 @@ def align_and_trace_c(q: np.ndarray, t: np.ndarray, match=5, mismatch=-4,
     qpos = np.zeros(nt32, dtype=np.int32)
     ins_len = np.zeros(nt32 + 1, dtype=np.int32)
     ins_qstart = np.zeros(nt32 + 1, dtype=np.int32)
-    j_start = lib.c3_traceback(
+    edge = ctypes.c_int32(0)
+    j_start = lib.c3_traceback_edge(
         moves, nq, band, q, nq, nt, int(j_end.value),
-        cover, base, qpos, ins_len, ins_qstart)
+        cover, base, qpos, ins_len, ins_qstart, ctypes.byref(edge))
     if normalize:
         lib.c3_normalize(q, t, nt, cover, base, qpos, ins_len, ins_qstart)
-    return AlignRecord(cover, base, qpos, ins_len, ins_qstart,
-                       int(j_start), int(j_end.value), int(score))
+    rec = AlignRecord(cover, base, qpos, ins_len, ins_qstart,
+                      int(j_start), int(j_end.value), int(score))
+    if with_edge:
+        return rec, bool(edge.value)
+    return rec
 
 
 _ARENAS: dict = {}

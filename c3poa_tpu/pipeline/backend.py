@@ -60,10 +60,12 @@ class NumpyBackend:
         return out
 
     def align_many(self, pairs, params: ConsensusParams):
+        from ..consensus.engine import _pair_band
         from ..utils import prof
         prof.current.count("align_pairs", len(pairs))
         prof.current.count(
-            "align_cells", sum(len(q) * params.band for q, _q, _t in pairs))
+            "align_cells",
+            sum(len(pr[0]) * _pair_band(pr, params) for pr in pairs))
         with prof.current.stage("align"):
             return serial_align_many(pairs, params)
 

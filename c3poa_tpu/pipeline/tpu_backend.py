@@ -335,7 +335,7 @@ class TpuBackend:
                 self.mesh,
                 (P("data", None), P("data", None), P("data"), P("data")),
                 (P("data"), P("data"), P("data"), P("data"),
-                 P("data", None)))
+                 P("data", None), P("data")))
             self._sharded_fns[key] = (jax.jit(fn), _pallas_align_on())
         return self._sharded_fns[key]
 
@@ -528,29 +528,35 @@ class TpuBackend:
     # ---------------- align ----------------
 
     def align_many(self, pairs, params: ConsensusParams) -> list[SubreadAln]:
+        from ..consensus.engine import _pair_band
         from ..utils import prof
-        W = params.band
         prof.current.count(
             "align_pairs", len(pairs))
         prof.current.count(
-            "align_cells", sum(len(q) * W for q, _q, _t in pairs))
+            "align_cells",
+            sum(len(pr[0]) * _pair_band(pr, params) for pr in pairs))
         with prof.current.stage("align"):
             return self._align_many(pairs, params)
 
     def _align_many(self, pairs, params: ConsensusParams) -> list[SubreadAln]:
-        W = params.band
+        from ..consensus.engine import _pair_band
         out: list = [None] * len(pairs)
 
         serial: list[int] = []
-        device: list[tuple[int, int]] = []   # (bucket dim m, pair idx)
-        for i, (q, _qual, t) in enumerate(pairs):
+        # (band, bucket dim m, pair idx): pairs may carry a per-pair band
+        # (fast-band core pairs, ConsensusParams.fast_band) — chunks are
+        # homogeneous in band so each launch compiles at its own W
+        device: list[tuple[int, int, int]] = []
+        for i, pr in enumerate(pairs):
+            q, t = pr[0], pr[2]
             if len(t) > (SMAX - 1) * len(q) + 1:
                 # extreme length mismatch: the banded kernel's shift ladder
                 # (SMAX) cannot track the interpolated diagonal — rare, use
                 # the host aligner
                 serial.append(i)
                 continue
-            device.append((_bucket_dim(max(len(q), len(t))), i))
+            device.append((_pair_band(pr, params),
+                           _bucket_dim(max(len(q), len(t))), i))
         if serial:
             from ..consensus.engine import serial_align_many
             res = serial_align_many([pairs[i] for i in serial], params)
@@ -562,49 +568,55 @@ class TpuBackend:
         # into FULL ladder-size chunks and give each chunk the row bucket
         # of its own longest pair: fewer launches and fewer total padded
         # rows than launching every (nq) bucket separately.
-        device.sort(key=lambda mi: (-mi[0], mi[1]))
-        chunks: list[tuple[int, list[int]]] = []   # (nq, pair idxs)
+        device.sort(key=lambda bmi: (bmi[0], -bmi[1], bmi[2]))
+        chunks: list[tuple[int, int, list[int]]] = []  # (W, nq, pair idxs)
         start = 0
         while start < len(device):
-            nq = device[start][0]
-            cap = ALIGN_BUDGET // (nq * W)
-            P = self._round_batch(_batch_size(len(device) - start, cap))
-            chunks.append((nq, [i for _m, i in device[start:start + P]]))
+            Wc = device[start][0]
+            nq = device[start][1]
+            cap = ALIGN_BUDGET // (nq * Wc)
+            run = start
+            while run < len(device) and device[run][0] == Wc:
+                run += 1
+            P = self._round_batch(_batch_size(run - start, cap))
+            chunks.append((Wc, nq,
+                           [i for _b, _m, i in device[start:start + P]]))
             start += P
 
         # dispatch all chunks first (device runs ahead of host traceback)
         launches = []
-        for nq, chunk in chunks:
+        for Wc, nq, chunk in chunks:
             nt = nq
             P = self._round_batch(_batch_size(len(chunk),
-                                              ALIGN_BUDGET // (nq * W)))
+                                              ALIGN_BUDGET // (nq * Wc)))
             Q = np.full((P, nq), 4, dtype=np.int8)
             T = np.full((P, nt), 4, dtype=np.int8)
             ql = np.ones(P, dtype=np.int32)
             tl = np.ones(P, dtype=np.int32)
             for r, i in enumerate(chunk):
-                q, _qual, t = pairs[i]
+                pr = pairs[i]
+                q, t = pr[0], pr[2]
                 Q[r, :len(q)] = q
                 T[r, :len(t)] = t
                 ql[r], tl[r] = len(q), len(t)
             from ..utils import prof
             prof.current.count("align_launches")
-            prof.current.count("align_cells_padded", P * nq * W)
-            shape = ("align", P, nq, nt, W)
+            prof.current.count("align_cells_padded", P * nq * Wc)
+            shape = ("align", P, nq, nt, Wc)
             if shape not in self._seen_shapes:
                 self._seen_shapes.add(shape)
                 prof.current.count("align_compiled_shapes")
             if self.mesh is not None:
                 fn, packed = self._sharded_align(
-                    W, params.match, params.mismatch, params.gap_open,
+                    Wc, params.match, params.mismatch, params.gap_open,
                     params.gap_ext)
                 res = fn(Q, T, ql, tl)
             else:
                 res, packed = _align_trace_impl(
-                    Q, T, ql, tl, band=W, match=params.match,
+                    Q, T, ql, tl, band=Wc, match=params.match,
                     mismatch=params.mismatch, gap_open=params.gap_open,
                     gap_ext=params.gap_ext)
-            launches.append((chunk, res, packed))
+            launches.append((Wc, chunk, res, packed))
 
         def build_record(args):
             i, q, qual, t, ops_row, j_end, score, packed = args
@@ -628,23 +640,32 @@ class TpuBackend:
         from ..utils import prof
         leftovers = []           # python-fallback work items
         rewalk: list[int] = []   # truncated walks (pathological paths)
+        escalate: list[int] = []  # fast-band paths that touched the edge
         # materialize + build records PER LAUNCH: the GIL-released C
         # record build of launch k overlaps the device computing launch
         # k+1 (launches were all dispatched above), so record time hides
         # inside device time instead of extending the align stage
-        for li, (chunk, res, packed) in enumerate(launches):
-            scores, j_ends, _j_starts, i_rem, ops = res
+        for li, (Wc, chunk, res, packed) in enumerate(launches):
+            scores, j_ends, _j_starts, i_rem, ops, edge = res
             with prof.current.stage("align_wait"):
                 scores = np.asarray(scores)
                 j_ends = np.asarray(j_ends)
                 i_rem = np.asarray(i_rem)
+                edge = np.asarray(edge)
                 ops = np.asarray(ops)  # (P, ~nq/5) uint8 — small transfer
+            fast = Wc < params.band
             work = []
             for r, i in enumerate(chunk):
                 if i_rem[r] > 0:
                     rewalk.append(i)
                     continue
-                q, qual, t = pairs[i]
+                if fast and edge[r]:
+                    # fast-band path touched band-local column 0/W-1:
+                    # realign at the full band (spec escalation rule)
+                    escalate.append(i)
+                    continue
+                pr = pairs[i]
+                q, qual, t = pr[0], pr[1], pr[2]
                 work.append((i, q, qual, t, ops[r], int(j_ends[r]),
                              int(scores[r]), packed))
             if not work:
@@ -681,6 +702,16 @@ class TpuBackend:
                 else:
                     for w in leftovers:
                         build_record(w)
+        if escalate:
+            # identical escalation to serial_align_many: realign at the
+            # full band on the host (the C aligner is bit-identical to a
+            # full-band device launch).  align_band_escalated counts it.
+            prof.current.count("align_band_escalated", len(escalate))
+            from ..consensus.engine import serial_align_many
+            res = serial_align_many(
+                [pairs[i][:3] for i in escalate], params)
+            for i, r in zip(escalate, res):
+                out[i] = r
         if rewalk:
             # pathological paths or cached-walk budget misses: host realign.
             # Watch align_rewalk in c3poa_stats.json — a spike means the

@@ -175,8 +175,13 @@ class AlignRecord(NamedTuple):
     score: int
 
 
-def traceback(q, t, moves, j_end) -> AlignRecord:
-    """Walk the move matrix from (nq, j_end) back to row 0."""
+def traceback(q, t, moves, j_end, lo=None, band=None):
+    """Walk the move matrix from (nq, j_end) back to row 0.
+
+    With ``lo``/``band`` given, also returns whether the path visited
+    band-local column 0 or band-1 (the fast-band escalation signal;
+    same rule as the device walks and native c3_traceback_edge):
+    returns (AlignRecord, edge).  Without them returns the record."""
     nq, nt = len(q), len(t)
     cover = np.zeros(nt, dtype=np.int8)
     base = np.full(nt, 4, dtype=np.int8)
@@ -186,7 +191,12 @@ def traceback(q, t, moves, j_end) -> AlignRecord:
 
     i, j = nq, j_end
     state = 0  # 0=H, 1=E, 2=F
+    edge = False
     while i > 0:
+        if lo is not None:
+            k = j - int(lo[i])
+            if k == 0 or k == band - 1:
+                edge = True
         mv = int(moves[i, j])
         if state == 0:
             src = mv & 3
@@ -215,8 +225,11 @@ def traceback(q, t, moves, j_end) -> AlignRecord:
             j -= 1
             if not ext:
                 state = 0
-    return AlignRecord(cover, base, qpos, ins_len, ins_qstart, j, j_end,
-                       score=0)
+    rec = AlignRecord(cover, base, qpos, ins_len, ins_qstart, j, j_end,
+                      score=0)
+    if lo is not None:
+        return rec, edge
+    return rec
 
 
 def embed_record(rec: AlignRecord, offset: int, full_nt: int) -> AlignRecord:
@@ -294,10 +307,13 @@ def normalize_record(rec: AlignRecord, q, t) -> AlignRecord:
 
 
 def align_and_trace(q, t, match=5, mismatch=-4, gap_open=4, gap_ext=2,
-                    band=128, normalize=True) -> AlignRecord:
-    score, j_end, moves, _lo = banded_align(
+                    band=128, normalize=True, with_edge=False):
+    score, j_end, moves, lo = banded_align(
         q, t, match, mismatch, gap_open, gap_ext, band)
-    rec = traceback(q, t, moves, j_end)
+    rec, edge = traceback(q, t, moves, j_end, lo=lo, band=band)
     if normalize:
         rec = normalize_record(rec, q, t)
-    return rec._replace(score=int(score))
+    rec = rec._replace(score=int(score))
+    if with_edge:
+        return rec, edge
+    return rec

@@ -42,21 +42,26 @@ static int32_t band_lo(int32_t i, int32_t nq, int32_t nt, int32_t W) {
 
 /* Traceback of band-local move bytes; fills the AlignRecord arrays.
  * moves: (nq_max, W) row-major, row r = DP row r+1.
+ * edge_out (nullable): set to 1 if the path visited band-local column
+ * 0 or W-1 — the fast-band escalation signal (same accumulation rule
+ * as the device walks in kernels/banded.py).
  * Returns j_start. */
-int32_t c3_traceback(
+int32_t c3_traceback_edge(
     const uint8_t *moves, int32_t nq_max, int32_t W,
     const int8_t *q, int32_t nq, int32_t nt, int32_t j_end,
     int8_t *cover,        /* [nt]  out, zeroed by caller or here */
     int8_t *base,         /* [nt]  out */
     int32_t *qpos,        /* [nt]  out */
     int32_t *ins_len,     /* [nt+1] out */
-    int32_t *ins_qstart   /* [nt+1] out */
+    int32_t *ins_qstart,  /* [nt+1] out */
+    int32_t *edge_out
 ) {
     memset(cover, 0, (size_t)nt);
     memset(base, 4, (size_t)nt);
     for (int32_t j = 0; j < nt; j++) qpos[j] = -1;
     memset(ins_len, 0, sizeof(int32_t) * (size_t)(nt + 1));
     for (int32_t j = 0; j <= nt; j++) ins_qstart[j] = -1;
+    if (edge_out) *edge_out = 0;
 
     int32_t i = nq, j = j_end, state = 0;
     while (i > 0) {
@@ -67,6 +72,7 @@ int32_t c3_traceback(
              * stop rather than walk outside the buffers */
             break;
         }
+        if (edge_out && (k == 0 || k == W - 1)) *edge_out = 1;
         uint8_t mv = moves[(size_t)(i - 1) * W + k];
         if (state == 0) {
             int src = mv & 3;
@@ -96,6 +102,17 @@ int32_t c3_traceback(
         }
     }
     return j;
+}
+
+/* Back-compatible entry (no edge flag). */
+int32_t c3_traceback(
+    const uint8_t *moves, int32_t nq_max, int32_t W,
+    const int8_t *q, int32_t nq, int32_t nt, int32_t j_end,
+    int8_t *cover, int8_t *base, int32_t *qpos,
+    int32_t *ins_len, int32_t *ins_qstart
+) {
+    return c3_traceback_edge(moves, nq_max, W, q, nq, nt, j_end,
+                             cover, base, qpos, ins_len, ins_qstart, 0);
 }
 
 /* Rebuild an alignment record from on-device traceback ops

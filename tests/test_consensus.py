@@ -161,3 +161,42 @@ def test_single_repeat_with_partial_dangling_not_truncated():
     job = ConsensusJob([draft], [dq], [frag], [fq])
     (cons, _cq), = consensus_many([job], ConsensusParams())
     assert len(cons) > 0.9 * len(draft), (len(cons), len(draft))
+
+
+def test_fast_band_escalation_matches_full_band():
+    """Fast-band (W=64) core pairs whose path touches the band edge must
+    be realigned at the full band in EVERY backend: a planted 100 bp
+    deletion forces the path off the interpolated diagonal.  Results
+    must equal a pure full-band run, and the edge flag must fire."""
+    import numpy as np
+
+    from c3poa_tpu import native, sim
+    from c3poa_tpu.consensus.engine import (
+        ConsensusParams, serial_align_many,
+    )
+    from c3poa_tpu.utils.seqs import encode
+
+    rng = np.random.default_rng(23)
+    ins = sim.random_seq(rng, 1500)
+    # query lost a 100bp block: relative drift 100 > 64-band half-width
+    q = encode(sim.mutate(rng, ins[:700] + ins[800:], 0.04, 0.02, 0.02))
+    t = encode(sim.mutate(rng, ins, 0.04, 0.02, 0.02))
+    qual = np.full(len(q), 20, np.int8)
+
+    # the 64-band walk must flag the edge
+    _rec, edge = native.align_and_trace_c(q, t, band=64, with_edge=True)
+    assert edge, "planted 100bp deletion did not touch the 64-band edge"
+
+    p_fast = ConsensusParams(fast_band=64)
+    p_full = ConsensusParams(fast_band=0)
+    (a_fast,) = serial_align_many([(q, qual, t, 64)], p_fast)
+    (a_full,) = serial_align_many([(q, qual, t)], p_full)
+    assert a_fast.rec.score == a_full.rec.score
+    np.testing.assert_array_equal(a_fast.rec.cover, a_full.rec.cover)
+    np.testing.assert_array_equal(a_fast.rec.ins_len, a_full.rec.ins_len)
+
+    # device path: the batched backend escalates identically
+    from c3poa_tpu.pipeline.tpu_backend import TpuBackend
+    res = TpuBackend()._align_many([(q, qual, t, 64)], p_fast)
+    assert res[0].rec.score == a_full.rec.score
+    np.testing.assert_array_equal(res[0].rec.cover, a_full.rec.cover)

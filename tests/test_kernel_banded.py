@@ -102,7 +102,7 @@ def test_device_traceback_ops_match_moves_path(seed):
     W = 64
 
     s1, je1, moves = banded_align_batch(Q, T, ql, tl, band=W)
-    s2, je2, js2, i_rem, ops = banded_align_trace_batch(Q, T, ql, tl, band=W)
+    s2, je2, js2, i_rem, ops, _edge = banded_align_trace_batch(Q, T, ql, tl, band=W)
     np.testing.assert_array_equal(np.asarray(i_rem), 0)
     np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
     np.testing.assert_array_equal(np.asarray(je1), np.asarray(je2))

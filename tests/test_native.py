@@ -110,7 +110,7 @@ def test_band_edge_f_clip_consistent_and_no_crash():
         q = sim.mutate(rng, t, 0.04, 0.02, 0.02)
         qa, ta = encode(q), encode(t)
         rec = align_and_trace(qa, ta, band=128)
-        s, je, _js, ir, _ops = banded_align_trace_batch(
+        s, je, _js, ir, _ops, _edge = banded_align_trace_batch(
             qa[None, :], ta[None, :],
             np.array([len(qa)], np.int32), np.array([len(ta)], np.int32),
             band=128)

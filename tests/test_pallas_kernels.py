@@ -135,8 +135,8 @@ def test_pallas_trace_matches_xla_trace(p_tile):
         tl[p] = len(t)
         Q[p, :len(q)] = encode(q)
         ql[p] = len(q)
-    s1, je1, js1, ir1, ops1 = banded_align_trace_batch(Q, T, ql, tl, band=W)
-    s2, je2, js2, ir2, ops2 = banded_align_trace_pallas(
+    s1, je1, js1, ir1, ops1, edge1 = banded_align_trace_batch(Q, T, ql, tl, band=W)
+    s2, je2, js2, ir2, ops2, edge2 = banded_align_trace_pallas(
         Q, T, ql, tl, band=W, interpret=True, p_tile=p_tile)
     np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
     np.testing.assert_array_equal(np.asarray(je1), np.asarray(je2))
@@ -172,14 +172,14 @@ def test_wide_walk_matches_plain_walk():
         tl[p] = len(t)
         Q[p, :len(q)] = encode(q)
         ql[p] = len(q)
-    s1, je1, js1, ir1, ops1 = banded_align_trace_batch(Q, T, ql, tl, band=W)
+    s1, je1, js1, ir1, ops1, edge1 = banded_align_trace_batch(Q, T, ql, tl, band=W)
     # jit the forward: an eager interpret-mode pallas_call dispatches the
     # kernel body op-by-op and takes minutes even at these toy shapes
     fwd = jax.jit(functools.partial(banded_fwd_pallas_packed, band=W,
                                     interpret=True))
     _s, je2, mvp = fwd(Q, T, ql, tl)
     np.testing.assert_array_equal(np.asarray(je1), np.asarray(je2))
-    jw, iw, opsw = walk_ops_cached(mvp, ql, tl, je2, W, shrink=7,
+    jw, iw, opsw, _edge = walk_ops_cached(mvp, ql, tl, je2, W, shrink=7,
                                    wide=True)
     np.testing.assert_array_equal(np.asarray(ir1), 0)
     iw = np.asarray(iw)
@@ -225,8 +225,8 @@ def test_cached_walk_matches_plain_walk():
         Q[p, :len(q)] = encode(q)
         ql[p] = len(q)
         seqs.append((encode(q), encode(t)))
-    s1, je1, js1, ir1, ops1 = banded_align_trace_batch(Q, T, ql, tl, band=W)
-    s2, je2, js2, ir2, ops2 = banded_align_trace_pallas_cached(
+    s1, je1, js1, ir1, ops1, edge1 = banded_align_trace_batch(Q, T, ql, tl, band=W)
+    s2, je2, js2, ir2, ops2, edge2 = banded_align_trace_pallas_cached(
         Q, T, ql, tl, band=W, interpret=True)
     np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
     np.testing.assert_array_equal(np.asarray(je1), np.asarray(je2))
