@@ -578,10 +578,14 @@ class TpuBackend:
             run = start
             while run < len(device) and device[run][0] == Wc:
                 run += 1
+            # never slice past the band run: the next run restarts the
+            # length sort, so crossing it would put longer pairs into a
+            # shorter chunk (and mix kernel widths)
             P = self._round_batch(_batch_size(run - start, cap))
+            take = min(start + P, run)
             chunks.append((Wc, nq,
-                           [i for _b, _m, i in device[start:start + P]]))
-            start += P
+                           [i for _b, _m, i in device[start:take]]))
+            start = take
 
         # dispatch all chunks first (device runs ahead of host traceback)
         launches = []
