@@ -234,8 +234,14 @@ def walk_ops_packed(mvp: jax.Array, q_lens: jax.Array, t_lens: jax.Array,
     def walk(carry, _):
         i, j, st, edge = carry
         active = i > 0
-        k = j - lo_of(i)
-        edge = edge | (active & ((k == 0) | (k == W - 1)))
+        lo_i = lo_of(i)
+        k = j - lo_i
+        # INTERIOR band edges only: the left edge counts only when
+        # columns are excluded before it (lo > 0), the right edge only
+        # when columns exist beyond it (lo + W <= nt) — paths naturally
+        # start at j=0 and end at j=nt without being band-limited
+        edge = edge | (active & (((k == 0) & (lo_i > 0)) |
+                                 ((k == W - 1) & (lo_i + W <= t_lens))))
         im1 = jnp.clip(i - 1, 0, nq_max - 1)
         flat = (im1 // 8) * W + jnp.clip(k, 0, W - 1)
         word = mvp_flat[parr, flat]
@@ -355,7 +361,9 @@ def walk_ops_cached(mvp: jax.Array, q_lens: jax.Array, t_lens: jax.Array,
             is_e & ((mv & 4) != 0), 1,
             jnp.where(is_f & ((mv & 8) != 0), 2, 0)).astype(jnp.int32)
         st_next = jnp.where(hit, st_next, st)
-        edge = edge | (hit & ((k_raw == 0) | (k_raw == W - 1)))
+        lo_i = j - k_raw
+        edge = edge | (hit & (((k_raw == 0) & (lo_i > 0)) |
+                              ((k_raw == W - 1) & (lo_i + W <= t_lens))))
         return (i - dec_i.astype(jnp.int32),
                 j - dec_j.astype(jnp.int32), st_next, edge), op
 
@@ -452,8 +460,10 @@ def banded_align_trace_batch(queries: jax.Array, targets: jax.Array,
     def walk(carry, _):
         i, j, st, edge = carry
         active = i > 0
-        k = j - lo_of(i)
-        edge = edge | (active & ((k == 0) | (k == W - 1)))
+        lo_i = lo_of(i)
+        k = j - lo_i
+        edge = edge | (active & (((k == 0) & (lo_i > 0)) |
+                                 ((k == W - 1) & (lo_i + W <= t_lens))))
         flat = (jnp.clip(i - 1, 0, nq_max - 1)) * W + jnp.clip(k, 0, W - 1)
         mv = moves_flat[parr, flat].astype(jnp.int32)
         src = mv & 3

@@ -194,8 +194,11 @@ def traceback(q, t, moves, j_end, lo=None, band=None):
     edge = False
     while i > 0:
         if lo is not None:
-            k = j - int(lo[i])
-            if k == 0 or k == band - 1:
+            lo_i = int(lo[i])
+            k = j - lo_i
+            # interior band edges only (see kernels/banded.py walks)
+            if (k == 0 and lo_i > 0) or \
+                    (k == band - 1 and lo_i + band <= nt):
                 edge = True
         mv = int(moves[i, j])
         if state == 0:

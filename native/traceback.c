@@ -72,7 +72,13 @@ int32_t c3_traceback_edge(
              * stop rather than walk outside the buffers */
             break;
         }
-        if (edge_out && (k == 0 || k == W - 1)) *edge_out = 1;
+        if (edge_out) {
+            /* interior band edges only: j=0 starts and j=nt ends are
+             * not band-limited (kernels/banded.py walks share the rule) */
+            int32_t lo_i = j - k;
+            if ((k == 0 && lo_i > 0) || (k == W - 1 && lo_i + W <= nt))
+                *edge_out = 1;
+        }
         uint8_t mv = moves[(size_t)(i - 1) * W + k];
         if (state == 0) {
             int src = mv & 3;
