@@ -62,7 +62,11 @@ class ConsensusParams:
     # across numpy/scan/pallas.  Dangling/windowed pairs always use
     # ``band`` (anchored windows do not track the interpolated
     # diagonal; W=64 measurably hurt them).  -1 = resolve from
-    # C3POA_FAST_BAND (default 64); 0 disables.
+    # C3POA_FAST_BAND (default 0 = OFF).  Shipped OFF: the interleaved
+    # hardware A/B (tools/pipe_ab.py, 3 rounds) measured 0.921x — the
+    # Pallas forward is latency-bound per row block, so halving the
+    # band saves VPU work that was never the bottleneck, while the
+    # band-run chunking fragments ladder batches (BENCHMARKS.md).
     fast_band: int = -1
     qmin: int = 5
     # 1 = single vote of core + dangling subreads against the medoid draft
@@ -108,7 +112,7 @@ def resolve_fast_band(p: "ConsensusParams") -> int:
     import os
     fb = p.fast_band
     if fb < 0:
-        fb = int(os.environ.get("C3POA_FAST_BAND", "64"))
+        fb = int(os.environ.get("C3POA_FAST_BAND", "0"))
     if fb <= 0 or fb >= p.band:
         return p.band
     return fb
