@@ -586,6 +586,55 @@ def align_and_trace_c(q: np.ndarray, t: np.ndarray, match=5, mismatch=-4,
 
 _ARENAS: dict = {}
 _ARENA_SLOT: int = 0
+_SLOT_LEASES: dict = {}       # slot -> lease token (an opaque int)
+_SLOT_LOCK = None             # lazy threading.Lock
+_LEASE_SEQ = 0
+
+
+class ArenaSlotCollision(RuntimeError):
+    """A record-arena slot was claimed while a previous generation's
+    records were still live (unreleased).  This is the silent-corruption
+    class the round-2 gi%2-under-multihost bug belonged to; the lease
+    guard turns it into a loud failure."""
+
+
+def _slot_lock():
+    global _SLOT_LOCK
+    if _SLOT_LOCK is None:
+        import threading
+        _SLOT_LOCK = threading.Lock()
+    return _SLOT_LOCK
+
+
+def claim_arena_slot(slot: int) -> int:
+    """Claim a record-arena generation; returns a lease token.
+
+    The pipelined runner claims slot = owned_group % 2 on its prepare
+    thread before building records, and releases the lease on the main
+    thread once the group's votes/writes have consumed them
+    (_finalize_group).  Claiming a slot whose previous lease is still
+    open means two live generations would share buffers — raise rather
+    than corrupt."""
+    global _LEASE_SEQ
+    slot = int(slot) & 1
+    with _slot_lock():
+        held = _SLOT_LEASES.get(slot)
+        if held is not None:
+            raise ArenaSlotCollision(
+                f"record-arena slot {slot} claimed while lease {held} is "
+                f"still open: two in-flight groups would share record "
+                f"buffers (double-buffer discipline violated)")
+        _LEASE_SEQ += 1
+        _SLOT_LEASES[slot] = _LEASE_SEQ
+        return _LEASE_SEQ
+
+
+def release_arena_slot(slot: int, lease: int) -> None:
+    """Release a lease taken by claim_arena_slot (idempotent per lease)."""
+    slot = int(slot) & 1
+    with _slot_lock():
+        if _SLOT_LEASES.get(slot) == lease:
+            del _SLOT_LEASES[slot]
 
 
 def set_arena_slot(slot: int) -> None:

@@ -450,6 +450,7 @@ def _prepare_group(group, combos, cfg: PipelineConfig, backend,
     g's host votes/writes; ``arena_slot`` double-buffers the native
     record arenas across the two in-flight groups."""
     from .. import native
+    arena_lease = native.claim_arena_slot(arena_slot)
     native.set_arena_slot(arena_slot)
     if prelocated is None:
         prelocated = _locate_group(group, combos, cfg, backend)
@@ -494,7 +495,8 @@ def _prepare_group(group, combos, cfg: PipelineConfig, backend,
         state = consensus_prepare(jobs, cfg.cons, backend.align_many)
     return {"group": group, "enc": enc, "quals": quals, "jobs": jobs,
             "job_meta": job_meta, "zero_jobs": zero_jobs,
-            "no_splint": no_splint, "state": state}
+            "no_splint": no_splint, "state": state,
+            "arena_slot": arena_slot, "arena_lease": arena_lease}
 
 
 def _process_group(group, combos, cfg: PipelineConfig, backend, writers,
@@ -579,6 +581,9 @@ def _finalize_group(prep: dict, cfg: PipelineConfig, writers,
                 sub_fh.write(subs_txt)
                 cons_fh.write(cons_txt)
     _t_wr.__exit__(None, None, None)
+    # the group's records (views into the slot's arenas) are consumed:
+    # free the generation for the prepare thread's next claim
+    native.release_arena_slot(prep["arena_slot"], prep["arena_lease"])
 
 
 def _collect_subreads(names: list, seqs: list, quals: list, name: str,

@@ -195,3 +195,38 @@ def test_native_vote_jobs_matches_per_job(seed):
     for j, (g, w) in enumerate(zip(got, want)):
         np.testing.assert_array_equal(g[0], w[0], err_msg=f"job {j} codes")
         np.testing.assert_array_equal(g[1], w[1], err_msg=f"job {j} quals")
+
+
+def test_arena_slot_lease_guard():
+    """The record-arena double-buffer discipline is ENFORCED, not just
+    conventional: claiming a slot whose previous generation is still
+    live raises (the round-2 gi%2-under-multihost bug class), releasing
+    frees it, and stale lease tokens are ignored."""
+    s0 = native.claim_arena_slot(0)
+    s1 = native.claim_arena_slot(1)  # other slot is independent
+    with pytest.raises(native.ArenaSlotCollision):
+        native.claim_arena_slot(0)
+    native.release_arena_slot(0, s0)
+    s0b = native.claim_arena_slot(0)  # free after release
+    native.release_arena_slot(0, s0)  # stale token: no-op
+    with pytest.raises(native.ArenaSlotCollision):
+        native.claim_arena_slot(0)    # s0b still holds the slot
+    native.release_arena_slot(0, s0b)
+    native.release_arena_slot(1, s1)
+
+
+def test_pipeline_releases_arena_leases(tmp_path):
+    """A pipeline run claims and releases cleanly (no leaked leases)."""
+    from c3poa_tpu.pipeline.run import PipelineConfig, run_pipeline
+
+    reads, splints = sim.make_dataset(
+        n_reads=6, seed=11, insert_len=(500, 900), copies=(2, 5),
+        error=0.05)
+    sim.write_fastq(str(tmp_path / "reads.fastq"), reads)
+    sim.write_fasta(str(tmp_path / "splint.fasta"), splints)
+    stats = run_pipeline(str(tmp_path / "reads.fastq"),
+                         str(tmp_path / "splint.fasta"),
+                         str(tmp_path / "out"),
+                         PipelineConfig(group_size=3))
+    assert stats.consensus_written > 0
+    assert native._SLOT_LEASES == {}
