@@ -85,12 +85,16 @@ def cpu_proxy_baseline(d: str) -> dict:
     base_dir = os.path.join(d, "base")
     os.makedirs(base_dir, exist_ok=True)
     make_dataset(base_dir, n_base, seed=2)
+    prior = os.environ.get("C3POA_CPU_C_ALIGN")
     os.environ["C3POA_CPU_C_ALIGN"] = "0"
     try:
         s1n, dt1n = run_once(base_dir, os.path.join(base_dir, "out1n"),
                              NumpyBackend())
     finally:
-        os.environ.pop("C3POA_CPU_C_ALIGN", None)
+        if prior is None:
+            os.environ.pop("C3POA_CPU_C_ALIGN", None)
+        else:
+            os.environ["C3POA_CPU_C_ALIGN"] = prior
     t1_numpy = s1n.total_reads / dt1n
     s1, dt1 = run_once(base_dir, os.path.join(base_dir, "out1"),
                        NumpyBackend())

@@ -162,21 +162,20 @@ def locate_batch(reads, lens, splints, min_dist, max_peaks: int = 128):
         tile=tile)
     peaks = select_peaks_host(np.asarray(cand_pos), np.asarray(cand_h),
                               int(min_dist))
-    # deep-flagged reads: exact rerun of the chosen combo's profile ->
-    # smooth -> scipy-exact selection on the host (rare by construction)
+    # deep-flagged reads: the shared exact host rerun (rare by
+    # construction; counted so a rate spike is never silent)
     deep = np.asarray(deep)
     if deep.any():
-        from ..ref import peaks as ref_peaks
-        from ..ref import sg as ref_sg
-        from ..ref import sw as ref_sw
+        from ..ref.peaks import exact_peaks_rerun
+        from ..utils import prof as _prof
+        _prof.current.count("peaks_deep_host_rerun", int(deep.sum()))
         combo_np = np.asarray(combo)
         splints_np = np.asarray(splints)
         for b in np.flatnonzero(deep):
             codes = np.asarray(reads[b][:lens[b]], dtype=np.int8)
-            prof = ref_sw.start_profile(splints_np[combo_np[b]], codes)
-            sm = ref_sg.smooth3(prof)
-            pks, _m = ref_peaks.call_peaks(sm, int(min_dist))
-            peaks[b] = pks.astype(np.int64)
+            peaks[b] = exact_peaks_rerun(
+                codes, splints_np[combo_np[b]],
+                int(min_dist)).astype(np.int64)
     K = max_peaks
     pos = np.full((B, K), L, dtype=np.int32)
     n = np.zeros(B, dtype=np.int32)

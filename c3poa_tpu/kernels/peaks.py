@@ -208,6 +208,9 @@ def call_peaks_batch(smoothed, lens, min_dist, max_peaks: int = 128):
     peaks = select_peaks_host(np.asarray(cand_pos), np.asarray(cand_h),
                               int(min_dist))
     deep = np.asarray(deep)
+    if deep.any():
+        from ..utils import prof as _prof
+        _prof.current.count("peaks_deep_host_rerun", int(deep.sum()))
     sm_np = np.asarray(smoothed)
     lens_np = np.asarray(lens)
     K = max_peaks
@@ -215,6 +218,9 @@ def call_peaks_batch(smoothed, lens, min_dist, max_peaks: int = 128):
     n = np.zeros(B, dtype=np.int32)
     for b, p in enumerate(peaks):
         if deep[b]:
+            # exact selection on THIS function's input row (its contract
+            # takes the already-smoothed profile; consumers with raw
+            # reads use ref.peaks.exact_peaks_rerun instead)
             p, _m = ref_call_peaks(sm_np[b, :lens_np[b]].astype(np.float64),
                                    int(min_dist))
         k = min(len(p), K)

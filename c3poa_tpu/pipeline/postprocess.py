@@ -290,6 +290,11 @@ def _resume_key(input_fasta, adapter_fasta, index_fasta,
         "undirectional": cfg.undirectional, "trim": cfg.trim,
         "barcoded": cfg.barcoded, "group_size": cfg.group_size,
         "score_min": cfg.score_min,
+        # a manifest from a different round-robin sharding must not be
+        # accepted: group ownership (gi % N == h) changes with N, so a
+        # stale skip count would skip/duplicate groups (run.py's resume
+        # key guards identically)
+        "process": [cfg.process_index, cfg.process_count],
     }
 
 
@@ -414,7 +419,8 @@ def run_postprocess(input_fasta: str, out_path: str, adapter_fasta: str,
                            idx_to_seq, seq_to_idx)
 
             for gi, blobs, wstats in imap_strict(_post_group_worker,
-                                                 payloads(), cfg.threads):
+                                                 payloads(), cfg.threads,
+                                                 label=lambda pl: pl[0]):
                 for rel, text in blobs.items():
                     writers._open(*rel.split("/")).write(text)
                 for f, v in wstats.items():

@@ -417,7 +417,8 @@ def _run_groups_mp(reads_path, combos, cfg, writers, stats, filter_stats,
             yield gi, group, combos, cfg
 
     for gi, blobs, wstats in imap_strict(_group_worker, payloads(),
-                                         cfg.num_threads):
+                                         cfg.num_threads,
+                                         label=lambda pl: pl[0]):
         for splint, (cons_txt, subs_txt) in blobs.items():
             cons_fh, subs_fh = writers.get(splint)
             cons_fh.write(cons_txt)

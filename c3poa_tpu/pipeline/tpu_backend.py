@@ -456,15 +456,20 @@ class TpuBackend:
                     deep_rerun.append(i)
         if deep_rerun:
             # a tile held >2 surviving maxima — the one case where the
-            # top-2 compaction can diverge from scipy's selection: rerun
-            # those reads through the exact host path (never observed on
-            # real data; counted so it is not silent)
+            # top-2 compaction can diverge from scipy's selection: those
+            # reads take the ONE shared exact host path (never observed
+            # on real data; counted so it is not silent).  Combo/score
+            # stay device-chosen — bit-parity with the host by kernel
+            # tests — so only the peaks are recomputed.
+            from ..ref.peaks import exact_peaks_rerun
             from ..utils import prof
             prof.current.count("peaks_deep_host_rerun", len(deep_rerun))
-            host = NumpyBackend()
-            for i, r in zip(deep_rerun, host.locate_many(
-                    [reads[i] for i in deep_rerun], combos, min_dist)):
-                out[i] = r
+            for i in deep_rerun:
+                pks = exact_peaks_rerun(
+                    np.asarray(reads[i], dtype=np.int8),
+                    combos[out[i].combo].codes, min_dist)
+                out[i] = LocateResult(out[i].combo, out[i].score,
+                                      pks.astype(np.int64))
         return out
 
     # ---------------- adapters (postprocessing) ----------------

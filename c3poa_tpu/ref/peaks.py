@@ -86,3 +86,26 @@ def call_peaks(scores: np.ndarray, min_dist: int, smoothed: np.ndarray | None = 
     if s.max(initial=0.0) < 6 * med:
         return np.array([], dtype=np.int64), med
     return find_peaks(s, distance=min_dist, height=med * 3), med
+
+
+def exact_peaks_rerun(codes: np.ndarray, splint_codes: np.ndarray,
+                      min_dist: int, match: int = 1, mismatch: int = -2,
+                      gap: int = 2) -> np.ndarray:
+    """THE exact host path for deep-flagged reads, shared by every
+    device consumer (pipeline/tpu_backend.locate_many,
+    kernels/locate.locate_batch): full-precision profile of the chosen
+    splint combo -> smooth3 -> scipy-exact selection.  A read is flagged
+    when a device tile held >2 surviving local maxima — the only
+    geometry where the kernel's top-2 compaction can diverge from
+    scipy's find_peaks — and its peaks are recomputed here so the
+    device path is scipy-exact at ANY chain depth (the combo itself is
+    bit-parity with the host by kernel tests, so only peaks rerun)."""
+    from . import sg as ref_sg
+    from . import sw as ref_sw
+
+    prof = ref_sw.start_profile(np.asarray(splint_codes, dtype=np.int8),
+                                np.asarray(codes, dtype=np.int8),
+                                match, mismatch, gap)
+    sm = ref_sg.smooth3(prof)
+    pks, _med = call_peaks(sm, int(min_dist))
+    return pks

@@ -11,21 +11,27 @@ This pool makes both failure modes LOUD:
 - a worker exception is re-raised in the parent (with the worker's
   traceback text, naming the group);
 - a worker death is detected by liveness checks while waiting and raises
-  ``WorkerDied`` naming the lost groups — never a silent drop or hang.
+  ``WorkerDied`` naming the lost groups — never a silent drop or hang;
+- an UNPICKLABLE result is a worker exception too (the worker pickles
+  its result inside the reporting try block), not the feeder-thread
+  stall ``mp.Queue`` gives you.
 
 Results are yielded strictly in submission order (deterministic parent
 writes); the task queue is fed lazily with a bounded number in flight,
 so streaming inputs never buffer whole files.
 
-Fault injection for tests: ``C3POA_FAULT_GROUP="<key>:<mode>"`` makes
-the worker processing submission index <key> either raise (mode
-``raise``) or die with ``os._exit`` (mode ``kill``) — the chaos hooks
-SURVEY.md §5 calls for.
+Groups are named by ``label`` (a callable over the payload — the
+pipelines pass the real 1-based group index, which survives resume
+skips and multihost sharding) in every error message and in fault
+injection: ``C3POA_FAULT_GROUP="<label>:<mode>"`` makes the worker
+processing that group either raise (mode ``raise``) or die with
+``os._exit`` (mode ``kill``) — the chaos hooks SURVEY.md §5 calls for.
 """
 
 from __future__ import annotations
 
 import os
+import pickle
 import queue
 import traceback
 from typing import Callable, Iterable, Iterator
@@ -44,25 +50,32 @@ def _pool_worker(fn, task_q, result_q):
         item = task_q.get()
         if item is None:
             return
-        key, payload = item
+        key, label, payload = item
         try:
             fault = os.environ.get("C3POA_FAULT_GROUP")
             if fault:
                 fkey, _, mode = fault.partition(":")
-                if int(fkey) == key:
+                if fkey == str(label):
                     if mode == "kill":
                         os._exit(13)
-                    raise RuntimeError(f"injected fault at group {key}")
-            result_q.put((key, True, fn(payload)))
+                    raise RuntimeError(f"injected fault at group {label}")
+            # pickle HERE so an unpicklable result raises in this try
+            # block (-> WorkerFailed in the parent) instead of dying in
+            # mp.Queue's feeder thread, which would hang the parent
+            blob = pickle.dumps(fn(payload), pickle.HIGHEST_PROTOCOL)
+            result_q.put((key, True, blob))
         except BaseException:  # noqa: BLE001 — workers must report, not die
             result_q.put((key, False, traceback.format_exc()))
 
 
 def imap_strict(fn: Callable, payloads: Iterable, workers: int,
-                poll_s: float = 2.0) -> Iterator:
+                poll_s: float = 2.0,
+                label: Callable = None) -> Iterator:
     """Run ``fn(payload)`` on ``workers`` spawn processes; yield results
-    in submission order.  Raises WorkerFailed (worker exception) or
-    WorkerDied (abrupt worker death) instead of dropping work."""
+    in submission order.  Raises WorkerFailed (worker exception, incl.
+    unpicklable results) or WorkerDied (abrupt worker death) instead of
+    dropping work.  ``label(payload)`` names the group in errors and
+    fault injection (default: the 0-based submission index)."""
     import multiprocessing as mp
 
     ctx = mp.get_context("spawn")
@@ -74,7 +87,7 @@ def imap_strict(fn: Callable, payloads: Iterable, workers: int,
         p.start()
 
     it = iter(payloads)
-    inflight: set[int] = set()
+    inflight: dict[int, object] = {}   # key -> label
     pending: dict[int, object] = {}
     next_key = 0       # next key to submit
     next_out = 0       # next key to yield
@@ -88,8 +101,9 @@ def imap_strict(fn: Callable, payloads: Iterable, workers: int,
                 except StopIteration:
                     exhausted = True
                     break
-                task_q.put((next_key, payload))
-                inflight.add(next_key)
+                lbl = label(payload) if label is not None else next_key
+                task_q.put((next_key, lbl, payload))
+                inflight[next_key] = lbl
                 next_key += 1
             if exhausted and not inflight:
                 return
@@ -102,16 +116,19 @@ def imap_strict(fn: Callable, payloads: Iterable, workers: int,
                     dead = [p for p in procs
                             if not p.is_alive() and p.exitcode != 0]
                     if dead:
+                        lost = sorted(inflight.values(),
+                                      key=lambda v: str(v))
                         raise WorkerDied(
                             f"{len(dead)} worker(s) died "
                             f"(exit {dead[0].exitcode}); groups "
-                            f"{sorted(inflight)} lost — rerun with "
+                            f"{lost} lost — rerun with "
                             f"--resume after fixing the cause") from None
             if not ok:
                 raise WorkerFailed(
-                    f"group {key} failed in a worker:\n{value}")
-            inflight.discard(key)
-            pending[key] = value
+                    f"group {inflight.get(key, key)} failed in a "
+                    f"worker:\n{value}")
+            inflight.pop(key, None)
+            pending[key] = pickle.loads(value)
             while next_out in pending:
                 yield pending.pop(next_out)
                 next_out += 1

@@ -48,7 +48,7 @@ def test_worker_death_surfaces_not_hangs(tmp_path, monkeypatch):
     raise WorkerDied promptly instead of hanging on the lost result
     (multiprocessing.Pool.imap would wait forever)."""
     _dataset(tmp_path)
-    monkeypatch.setenv("C3POA_FAULT_GROUP", "0:kill")
+    monkeypatch.setenv("C3POA_FAULT_GROUP", "2:kill")
     t0 = time.time()
     with pytest.raises(WorkerDied, match="worker"):
         run_pipeline(str(tmp_path / "reads.fastq"),
@@ -140,3 +140,37 @@ def test_sigkill_midrun_deep_pipeline_resume(tmp_path):
     for rel in t1:
         assert t1[rel] == t2[rel], f"{rel} differs"
     assert killed_mid, "run finished before SIGKILL; tighten the timing"
+
+
+def _identity(x):
+    return x
+
+
+def _return_lambda(x):
+    return lambda: x  # unpicklable
+
+
+def test_unpicklable_result_raises_not_hangs():
+    """A worker result that fails to pickle must surface as WorkerFailed
+    (the worker pickles inside its reporting try block) — mp.Queue's
+    feeder thread would otherwise drop it and hang the parent forever."""
+    from c3poa_tpu.utils.procpool import imap_strict
+
+    t0 = time.time()
+    with pytest.raises(WorkerFailed, match="pickle|Pickling"):
+        list(imap_strict(_return_lambda, [1, 2], workers=2))
+    assert time.time() - t0 < 60
+
+
+def test_imap_strict_labels_name_real_groups():
+    """Errors name the caller-supplied group label, not the 0-based
+    submission index (resume/multihost skip groups before submission)."""
+    from c3poa_tpu.utils.procpool import imap_strict
+
+    os.environ["C3POA_FAULT_GROUP"] = "7:raise"
+    try:
+        with pytest.raises(WorkerFailed, match="group 7"):
+            list(imap_strict(_identity, [(7, "payload")], workers=1,
+                             label=lambda pl: pl[0]))
+    finally:
+        del os.environ["C3POA_FAULT_GROUP"]

@@ -125,3 +125,32 @@ def test_call_peaks_batch_plateaus_and_ties():
             want = want[x[b][want] >= 0]
             np.testing.assert_array_equal(pos[b, :n[b]], want,
                                           err_msg=f"b={b} dist={dist}")
+
+
+def test_exact_peaks_rerun_matches_numpy_backend():
+    """ref.peaks.exact_peaks_rerun — the ONE shared deep-flag host path
+    (used by tpu_backend.locate_many and kernels/locate.locate_batch) —
+    must equal the NumpyBackend locate recipe (profile -> smooth3 ->
+    call_peaks) on real-shaped reads, padded or unpadded splint alike
+    (N/pad scores 0, so trailing pad never changes the profile)."""
+    from c3poa_tpu import sim
+    from c3poa_tpu.pipeline.backend import Combo, NumpyBackend
+    from c3poa_tpu.ref.peaks import exact_peaks_rerun
+    from c3poa_tpu.utils.seqs import encode
+
+    rng = np.random.default_rng(31)
+    reads, splints = sim.make_dataset(n_reads=4, seed=31,
+                                      insert_len=(300, 600),
+                                      copies=(3, 6), error=0.05)
+    (sname, sseq), = splints.items()
+    scodes = encode(sseq)
+    combos = [Combo(sname, "+", scodes, len(scodes))]
+    codes = [encode(r.seq) for r in reads]
+    want = NumpyBackend().locate_many(codes, combos, len(scodes) // 2)
+    for c, w in zip(codes, want):
+        got = exact_peaks_rerun(c, scodes, len(scodes) // 2)
+        np.testing.assert_array_equal(got, w.peaks)
+        padded = np.full(len(scodes) + 37, 4, dtype=np.int8)
+        padded[:len(scodes)] = scodes
+        got_p = exact_peaks_rerun(c, padded, len(scodes) // 2)
+        np.testing.assert_array_equal(got_p, w.peaks)
