@@ -85,6 +85,14 @@ def parse_args(argv=None):
                              "to a single-host run.")
     parser.add_argument("--process_id", type=int, default=None,
                         help="Multi-host: this process's index.")
+    parser.add_argument("--rss-restart-mb", type=int, default=0,
+                        help="Bound process memory: exit cleanly at a "
+                             "group checkpoint once RSS exceeds this many "
+                             "MB and relaunch with --resume "
+                             "(byte-identical).  Counters hosts whose "
+                             "accelerator client leaks every "
+                             "host->device transfer (tools/leak_probe.py);"
+                             " 0 disables.")
     parser.add_argument("--version", "-v", action="version", version=VERSION)
 
     if argv is None and len(sys.argv) == 1:
@@ -151,12 +159,49 @@ def _local_mesh(mesh_devices: str = "auto"):
     return Mesh(np.asarray(local[:n]), ("data",))
 
 
+def supervise(argv, module="c3poa_tpu.cli"):
+    """Relaunch the CLI under a restart loop: the child exits with
+    RESTART_EXIT_CODE at a durable group checkpoint when RSS crosses
+    --rss-restart-mb; every relaunch continues via --resume
+    (byte-identical, progress guaranteed — the child only restarts after
+    completing at least one new group)."""
+    import os
+    import subprocess
+
+    from .utils.mem import RESTART_EXIT_CODE
+
+    cmd = [sys.executable, "-m", module] + list(argv)
+    if "--resume" not in cmd:
+        cmd.append("--resume")
+    env = dict(os.environ, C3POA_SUPERVISED="1")
+    restarts = -1
+    while True:
+        restarts += 1
+        rc = subprocess.call(cmd, env=env)
+        if rc != RESTART_EXIT_CODE:
+            if restarts:
+                print(f"rss supervisor: {restarts} restart(s)",
+                      file=sys.stderr)
+            return rc
+
+
 def main(argv=None):
+    import os
+
     args = parse_args(argv)
     if not args.reads or not args.splint_file:
         print("Reads (--reads/-r) and splint (--splint_file/-s) are required",
               file=sys.stderr)
         sys.exit(1)
+    if args.rss_restart_mb:
+        if args.compress_output or args.num_processes > 1:
+            print("--rss-restart-mb needs the resume manifest: not "
+                  "supported with -co or --num_processes > 1 (compress "
+                  "at the end, or bound each host's run separately)",
+                  file=sys.stderr)
+            sys.exit(1)
+        if os.environ.get("C3POA_SUPERVISED") != "1":
+            return supervise(argv if argv is not None else sys.argv[1:])
     process_index, process_count = 0, 1
     if args.num_processes > 1:
         from .parallel.dist import initialize
@@ -181,6 +226,7 @@ def main(argv=None):
         resume=args.resume,
         process_index=process_index,
         process_count=process_count,
+        rss_restart_mb=args.rss_restart_mb,
         cons=ConsensusParams(),
     )
     # 'auto' meshes all local chips only in single-process runs; under
@@ -190,9 +236,13 @@ def main(argv=None):
     if process_count > 1 and mesh_devices == "auto":
         mesh_devices = "1"
     backend = pick_backend(args.backend, mesh_devices)
+    from .utils.mem import RESTART_EXIT_CODE, RssRestartNeeded
     try:
         stats = run_pipeline(args.reads, args.splint_file, args.out_path,
                              cfg, backend)
+    except RssRestartNeeded as exc:
+        print(f"c3poa: {exc}", file=sys.stderr)
+        sys.exit(RESTART_EXIT_CODE)
     except (ValueError, OSError) as exc:
         print(f"error: {exc}", file=sys.stderr)
         sys.exit(1)

@@ -65,6 +65,11 @@ def parse_args(argv=None):
                              "C3POa_postprocessing.py:128-216).")
     parser.add_argument("--process_id", type=int, default=None,
                         help="Multi-host: this process's index.")
+    parser.add_argument("--rss-restart-mb", type=int, default=0,
+                        help="Bound process memory: exit cleanly at a "
+                             "group checkpoint once RSS exceeds this many "
+                             "MB and relaunch with --resume "
+                             "(byte-identical); 0 disables.")
     parser.add_argument("--version", "-v", action="version", version=VERSION)
 
     if argv is None and len(sys.argv) == 1:
@@ -82,6 +87,17 @@ def main(argv=None):
     if args.undirectional and args.barcoded:
         print("Error: undirectional and barcoded are mutually exclusive.")
         sys.exit(1)
+    import os
+    if args.rss_restart_mb:
+        if args.compress_output or args.num_processes > 1:
+            print("--rss-restart-mb needs the resume manifest: not "
+                  "supported with -co or --num_processes > 1",
+                  file=sys.stderr)
+            sys.exit(1)
+        if os.environ.get("C3POA_SUPERVISED") != "1":
+            from .cli import supervise
+            return supervise(argv if argv is not None else sys.argv[1:],
+                             module="c3poa_tpu.cli_postprocess")
     process_index, process_count = 0, 1
     if args.num_processes > 1:
         from .parallel.dist import initialize
@@ -97,10 +113,16 @@ def main(argv=None):
         undirectional=args.undirectional, trim=args.trim,
         barcoded=args.barcoded, group_size=args.groupSize,
         threads=args.threads, compress=args.compress_output,
-        resume=args.resume,
+        resume=args.resume, rss_restart_mb=args.rss_restart_mb,
         process_index=process_index, process_count=process_count)
-    stats = run_postprocess(args.input_fasta_file, args.output_path,
-                            args.adapter_file, args.index_file, cfg, backend)
+    from .utils.mem import RESTART_EXIT_CODE, RssRestartNeeded
+    try:
+        stats = run_postprocess(args.input_fasta_file, args.output_path,
+                                args.adapter_file, args.index_file, cfg,
+                                backend)
+    except RssRestartNeeded as exc:
+        print(f"c3poa-postprocess: {exc}", file=sys.stderr)
+        sys.exit(RESTART_EXIT_CODE)
     print(f"postprocessed: {stats.written}/{stats.total} written "
           f"({stats.no_adapter} bad adapters, {stats.wrong_order} misordered, "
           f"{stats.no_direction} directionless)", file=sys.stderr)

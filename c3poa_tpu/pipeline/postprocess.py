@@ -37,6 +37,7 @@ import numpy as np
 
 from ..io.fastx import read_fastx
 from ..ref.lev import sliding_min_distance
+from ..utils.mem import RssRestartNeeded, rss_mb
 from ..utils.progress import Progress
 from ..utils.seqs import encode, revcomp, revcomp_encoded
 
@@ -60,6 +61,9 @@ class PostprocessConfig:
     # out/host_<h>/, and host 0 merges byte spans by group index
     process_index: int = 0
     process_count: int = 1
+    # >0: clean RssRestartNeeded exit at a checkpoint once VmRSS exceeds
+    # this (see pipeline/run.PipelineConfig.rss_restart_mb)
+    rss_restart_mb: int = 0
 
 
 class AdapterHit(NamedTuple):
@@ -401,6 +405,11 @@ def run_postprocess(input_fasta: str, out_path: str, adapter_fasta: str,
                            "files": sizes,
                            "stats": dataclasses.asdict(stats),
                            "span_groups": span_groups}, fh)
+            if (cfg.rss_restart_mb and gi + 1 > skip_groups
+                    and rss_mb() > cfg.rss_restart_mb):
+                raise RssRestartNeeded(
+                    f"RSS {rss_mb()} MB > {cfg.rss_restart_mb} MB after "
+                    f"group {gi}; exiting for a clean --resume restart")
 
     use_mp = cfg.threads > 1 and not getattr(backend, "supports_overlap",
                                              False)

@@ -42,6 +42,7 @@ from ..consensus.engine import (
 )
 from ..io.fastx import read_fastx
 from ..utils import prof
+from ..utils.mem import RssRestartNeeded, rss_mb
 from ..utils.progress import Progress
 from ..utils.seqs import decode, encode, phred_to_array, revcomp_encoded
 from .backend import Combo, NumpyBackend
@@ -68,6 +69,13 @@ class PipelineConfig:
     # g with g % process_count == h and writes under out/host_<h>/
     process_index: int = 0
     process_count: int = 1
+    # >0: raise RssRestartNeeded after a group checkpoint once VmRSS
+    # exceeds this many MB (progress guaranteed: only checks after at
+    # least one NEW group completed).  Used by the CLI's --rss-restart-mb
+    # supervisor to bound memory on hosts whose accelerator client leaks
+    # every host->device transfer (this box's relayed TPU runtime does —
+    # tools/leak_probe.py; framework buffers themselves are bounded).
+    rss_restart_mb: int = 0
     cons: ConsensusParams = dataclasses.field(default_factory=ConsensusParams)
 
     def resume_key(self, reads_path, splint_path) -> dict:
@@ -271,6 +279,14 @@ def run_pipeline(reads_path: str, splint_path: str, out_path: str,
                            "files": sizes,
                            "stats": dataclasses.asdict(stats),
                            "span_groups": span_groups}, fh)
+            if (cfg.rss_restart_mb and gi > skip_groups
+                    and rss_mb() > cfg.rss_restart_mb):
+                # the manifest for gi is durable; a fresh process resumes
+                # byte-identically from here (same state the SIGKILL
+                # chaos test exercises, but with a clean shutdown)
+                raise RssRestartNeeded(
+                    f"RSS {rss_mb()} MB > {cfg.rss_restart_mb} MB after "
+                    f"group {gi}; exiting for a clean --resume restart")
 
     progress = Progress("c3poa")
 

@@ -174,3 +174,59 @@ def test_imap_strict_labels_name_real_groups():
                              label=lambda pl: pl[0]))
     finally:
         del os.environ["C3POA_FAULT_GROUP"]
+
+
+def test_rss_restart_supervisor_byte_identical(tmp_path):
+    """--rss-restart-mb 1 forces a clean restart after every new group
+    (any real process exceeds 1 MB); the supervisor must relaunch via
+    --resume until completion with output byte-identical to a single
+    uninterrupted run."""
+    _dataset(tmp_path, n_reads=8, seed=9)
+    base = [sys.executable, "-m", "c3poa_tpu.cli",
+            "-r", str(tmp_path / "reads.fastq"),
+            "-s", str(tmp_path / "splint.fasta"),
+            "-l", "100", "-g", "2", "--backend", "numpy"]
+    env = dict(os.environ, C3POA_PROGRESS="0")
+
+    clean = str(tmp_path / "clean")
+    subprocess.run(base + ["-o", clean], check=True, env=env, timeout=900)
+
+    out = str(tmp_path / "supervised")
+    r = subprocess.run(base + ["-o", out, "--rss-restart-mb", "1"],
+                       env=env, timeout=900, capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    assert "restart(s)" in r.stderr  # it really did restart
+    t1, t2 = _tree(clean), _tree(out)
+    assert set(t1) == set(t2)
+    for rel in t1:
+        assert t1[rel] == t2[rel], f"{rel} differs"
+
+
+def test_postprocess_rss_restart_supervisor(tmp_path):
+    """Same restart loop for the postprocess CLI."""
+    import numpy as np
+    rng = np.random.default_rng(11)
+    with open(tmp_path / "cons.fasta", "w") as fh:
+        for i in range(9):
+            name, seq, _ = sim.make_consensus_like(rng, f"c_{i}",
+                                                   cdna_len=300)
+            fh.write(f">{name}\n{seq}\n")
+    sim.write_fasta(str(tmp_path / "adapters.fasta"),
+                    dict(sim.DEFAULT_ADAPTERS))
+    base = [sys.executable, "-m", "c3poa_tpu.cli_postprocess",
+            "-i", str(tmp_path / "cons.fasta"),
+            "-a", str(tmp_path / "adapters.fasta"),
+            "-t", "-g", "3", "--backend", "numpy"]
+    env = dict(os.environ, C3POA_PROGRESS="0")
+
+    clean = str(tmp_path / "clean")
+    subprocess.run(base + ["-o", clean], check=True, env=env, timeout=900)
+    out = str(tmp_path / "supervised")
+    r = subprocess.run(base + ["-o", out, "--rss-restart-mb", "1"],
+                       env=env, timeout=900, capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+    assert "restart(s)" in r.stderr
+    t1, t2 = _tree(clean), _tree(out)
+    assert set(t1) == set(t2)
+    for rel in t1:
+        assert t1[rel] == t2[rel], f"{rel} differs"

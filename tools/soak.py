@@ -110,25 +110,61 @@ def rss_mb(pid):
     return None
 
 
-def run_soak(d, out, resume_test=False, kill_after_s=300):
+def rss_tree_mb(root_pid):
+    """Max VmRSS over root_pid and its descendants (under
+    --rss-restart-mb the CLI is a small supervisor whose worker child
+    holds the memory)."""
+    best = rss_mb(root_pid)
+    try:
+        pids = [int(p) for p in os.listdir("/proc") if p.isdigit()]
+    except OSError:
+        return best
+    parent = {}
+    for p in pids:
+        try:
+            with open(f"/proc/{p}/stat") as fh:
+                parent[p] = int(fh.read().split()[3])
+        except (OSError, ValueError, IndexError):
+            pass
+    tree = {root_pid}
+    grew = True
+    while grew:
+        grew = False
+        for p, pp in parent.items():
+            if pp in tree and p not in tree:
+                tree.add(p)
+                grew = True
+    for p in tree:
+        m = rss_mb(p)
+        if m is not None and (best is None or m > best):
+            best = m
+    return best
+
+
+def run_soak(d, out, resume_test=False, kill_after_s=300,
+             rss_restart_mb=0):
     env = dict(os.environ, C3POA_PROGRESS="1")
     cmd = [sys.executable, "-m", "c3poa_tpu.cli",
            "-r", os.path.join(d, "reads.fastq"),
            "-s", os.path.join(d, "splint.fasta"),
            "-o", out, "--backend", "tpu", "--resume"]
+    if rss_restart_mb:
+        cmd += ["--rss-restart-mb", str(rss_restart_mb)]
     samples = []
     t0 = time.time()
     kills = 0
 
     def sample_loop(pid, stop):
         while not stop.is_set():
-            m = rss_mb(pid)
+            m = rss_tree_mb(pid)
             if m is not None:
                 samples.append((round(time.time() - t0, 1), m))
             stop.wait(30)
 
     while True:
-        proc = subprocess.Popen(cmd, env=env)
+        # own session: the resume-test SIGKILL must take out the whole
+        # tree (supervisor + worker), not orphan a still-writing worker
+        proc = subprocess.Popen(cmd, env=env, start_new_session=True)
         stop = threading.Event()
         th = threading.Thread(target=sample_loop, args=(proc.pid, stop),
                               daemon=True)
@@ -137,7 +173,7 @@ def run_soak(d, out, resume_test=False, kill_after_s=300):
             time.sleep(kill_after_s)
             if proc.poll() is None:
                 import signal
-                os.kill(proc.pid, signal.SIGKILL)
+                os.killpg(proc.pid, signal.SIGKILL)
                 kills += 1
                 proc.wait()
                 stop.set()
@@ -158,13 +194,18 @@ def main():
     ap.add_argument("--out", default="SOAK.json")
     ap.add_argument("--resume-test", action="store_true")
     ap.add_argument("--kill-after", type=int, default=300)
+    ap.add_argument("--rss-restart-mb", type=int, default=0,
+                    help="pass through to the CLI's restart supervisor "
+                         "(bounds RSS against the relay's transfer leak, "
+                         "tools/leak_probe.py)")
     args = ap.parse_args()
 
     generate(args.dir, args.reads)
     out_dir = os.path.join(args.dir, "out")
     wall, samples, kills = run_soak(args.dir, out_dir,
                                     resume_test=args.resume_test,
-                                    kill_after_s=args.kill_after)
+                                    kill_after_s=args.kill_after,
+                                    rss_restart_mb=args.rss_restart_mb)
     stats = {}
     sp = os.path.join(out_dir, "c3poa_stats.json")
     if os.path.exists(sp):
