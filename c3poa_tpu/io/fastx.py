@@ -1,10 +1,12 @@
 """Streaming FASTA/FASTQ IO (gzip-aware).
 
 Replaces the reference's use of ``mappy.fastx_read`` (C3POa.py:201,232,239,
-bin/determine_consensus.py:98, C3POa_postprocessing.py:88,145).  A C fast
-path lives in ``native/fastxio.c`` (used automatically when built); this
-module is the always-available Python implementation with identical
-semantics:
+bin/determine_consensus.py:98, C3POa_postprocessing.py:88,145).  This
+module is the always-available Python implementation; a batch C parser
+(``native/fastxio.c`` via ``native.parse_fastq_bytes``) exists for
+callers that want whole-buffer parsing into int8 arenas, and the C
+WRITER (``native.format_fastx``) is what the pipeline's output path
+uses.  Semantics:
 
 - FASTA: multi-line sequences concatenated; name is the first whitespace
   token after '>' (mappy's read_comment=False behavior).
