@@ -99,3 +99,27 @@ def test_overlong_read_host_fallback():
     for pos in (40000, 90000):
         assert np.any(np.abs(got[0].peaks - pos) <= len(codes)), \
             (pos, got[0].peaks)
+
+
+def test_packed_upload_locate_parity(dataset, monkeypatch):
+    """C3POA_PACK_UPLOAD=1 (base-5 packed host->device read upload,
+    unpacked on device) must leave locate results bit-identical — the
+    precondition for defaulting it on where transfers are the locate
+    stage's cost (tools/locate_breakdown.py)."""
+    d, reads, splints = dataset
+    from c3poa_tpu.pipeline.backend import Combo
+    from c3poa_tpu.utils.seqs import encode, revcomp_encoded
+
+    (sname, sseq), = splints.items()
+    scodes = encode(sseq)
+    combos = [Combo(sname, "+", scodes, len(scodes)),
+              Combo(sname, "-", revcomp_encoded(scodes), len(scodes))]
+    codes = [encode(r.seq) for r in reads]
+
+    monkeypatch.delenv("C3POA_PACK_UPLOAD", raising=False)
+    plain = TpuBackend().locate_many(codes, combos, 500)
+    monkeypatch.setenv("C3POA_PACK_UPLOAD", "1")
+    packed = TpuBackend().locate_many(codes, combos, 500)
+    for a, b in zip(plain, packed):
+        assert a.combo == b.combo and a.score == b.score
+        np.testing.assert_array_equal(a.peaks, b.peaks)
