@@ -101,6 +101,16 @@ def pack_b5(reads_np):
     return r[:, 0::3] + 5 * r[:, 1::3] + 25 * r[:, 2::3]
 
 
+@partial(jax.jit, static_argnames=("L",))
+def unpack_b5_device(packed, L: int):
+    """Standalone jitted device unpack (pack_b5 inverse) for callers
+    that feed other jitted kernels — e.g. the align path's packed
+    uploads (C3POA_PACK_ALIGN): the (B, L/3) upload is expanded to
+    (B, L) ON DEVICE, so the kernels consume a resident array with no
+    second host transfer."""
+    return _unpack_b5(packed, L)
+
+
 def _unpack_b5(packed, L):
     """Device side: inverse of pack_b5, back to (B, L) int8."""
     r = packed.astype(jnp.int32)

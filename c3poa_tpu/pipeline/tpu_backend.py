@@ -621,8 +621,20 @@ class TpuBackend:
                     params.gap_ext)
                 res = fn(Q, T, ql, tl)
             else:
+                if os.environ.get("C3POA_PACK_ALIGN", "0") == "1":
+                    # base-5 packed upload (3x smaller), expanded on
+                    # device (kernels/locate.unpack_b5_device) — the
+                    # align kernels then consume resident arrays.
+                    # Bit-identical (test_packed_upload_align_parity);
+                    # pays off where the relayed transfer is serialized
+                    # (tools/locate_breakdown.py).
+                    from ..kernels.locate import pack_b5, unpack_b5_device
+                    Qd = unpack_b5_device(pack_b5(Q), nq)
+                    Td = unpack_b5_device(pack_b5(T), nt)
+                else:
+                    Qd, Td = Q, T
                 res, packed = _align_trace_impl(
-                    Q, T, ql, tl, band=Wc, match=params.match,
+                    Qd, Td, ql, tl, band=Wc, match=params.match,
                     mismatch=params.mismatch, gap_open=params.gap_open,
                     gap_ext=params.gap_ext)
             launches.append((Wc, chunk, res, packed))

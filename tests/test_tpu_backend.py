@@ -123,3 +123,22 @@ def test_packed_upload_locate_parity(dataset, monkeypatch):
     for a, b in zip(plain, packed):
         assert a.combo == b.combo and a.score == b.score
         np.testing.assert_array_equal(a.peaks, b.peaks)
+
+
+def test_packed_upload_align_parity(dataset, monkeypatch):
+    """C3POA_PACK_ALIGN=1 (base-5 packed align uploads, device unpack)
+    must leave the full pipeline output byte-identical."""
+    d, reads, splints = dataset
+    cfg = PipelineConfig(group_size=4)
+    monkeypatch.delenv("C3POA_PACK_ALIGN", raising=False)
+    out_plain = str(d / "out_alplain")
+    run_pipeline(str(d / "reads.fastq"), str(d / "splint.fasta"),
+                 out_plain, cfg, TpuBackend())
+    monkeypatch.setenv("C3POA_PACK_ALIGN", "1")
+    out_packed = str(d / "out_alpacked")
+    run_pipeline(str(d / "reads.fastq"), str(d / "splint.fasta"),
+                 out_packed, cfg, TpuBackend())
+    for fname in ("R2C2_Consensus.fasta", "R2C2_Subreads.fastq"):
+        a = open(os.path.join(out_plain, "Splint1", fname)).read()
+        b = open(os.path.join(out_packed, "Splint1", fname)).read()
+        assert a == b, f"{fname} differs with packed align uploads"
