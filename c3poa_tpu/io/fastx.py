@@ -91,3 +91,48 @@ def _read_fastq(fh) -> Iterator[FastxRecord]:
         if not nxt.startswith("@"):
             raise ValueError("malformed FASTQ record separator")
         header = nxt[1:].rstrip()
+
+
+def is_plain_fastq(path: str) -> bool:
+    """True when ``path`` is an uncompressed FASTQ file — the case where
+    byte offsets are meaningful for seek-resume (gzip members are not
+    seekable without re-decompression)."""
+    try:
+        with open(path, "rb") as fh:
+            magic = fh.read(2)
+    except OSError:
+        return False
+    return magic[:1] == b"@" and magic != b"\x1f\x8b"
+
+
+def read_fastq_offsets(path: str,
+                       start_offset: int = 0
+                       ) -> Iterator[tuple]:
+    """Plain-FASTQ streaming with exact byte offsets: yields
+    ``(FastxRecord, offset_after_record)``.  Record semantics identical
+    to ``read_fastx`` (same name token, rstrip, validation errors);
+    ``start_offset`` must be a record boundary (a stored
+    ``offset_after_record``), which is how a resumed pipeline skips
+    gigabytes of completed input without re-parsing it."""
+    with open(path, "rb") as fh:
+        if start_offset:
+            fh.seek(start_offset)
+        while True:
+            header = fh.readline()
+            if not header:
+                return
+            if not header.startswith(b"@"):
+                raise ValueError("malformed FASTQ record separator")
+            hs = header[1:].rstrip()
+            name = hs.split()[0].decode("ascii") if hs.split() else ""
+            seq = fh.readline().rstrip()
+            plus = fh.readline()
+            qual = fh.readline().rstrip()
+            if not plus:
+                raise ValueError("truncated FASTQ record")
+            if len(qual) != len(seq):
+                raise ValueError(
+                    f"FASTQ record {name!r}: quality length {len(qual)} "
+                    f"!= sequence length {len(seq)}")
+            yield (FastxRecord(name, seq.decode("ascii"),
+                               qual.decode("ascii")), fh.tell())

@@ -172,6 +172,75 @@ def _read_groups(path: str, lencutoff: int, group_size: int,
         yield group
 
 
+class _GroupStream:
+    """Group streaming with seek-resume for plain FASTQ inputs.
+
+    Iterating yields 1-based ``(gi, group)``.  For uncompressed FASTQ
+    the stream records, per group, the byte offset after its last read
+    and the short-read count at that moment; ``checkpoint_fields(gi)``
+    hands those to the resume manifest so the NEXT session seeks
+    straight to group gi+1 instead of re-parsing gigabytes of completed
+    input (the dominant restart cost measured in the 1M-read soak's
+    --rss-restart-mb run, BENCHMARKS.md).  Gzip/FASTA inputs fall back
+    to full re-streaming with count-based skipping, byte-identically.
+    """
+
+    def __init__(self, path: str, cfg: "PipelineConfig",
+                 filter_stats: "PipelineStats", skip_groups: int,
+                 manifest: dict | None):
+        from ..io.fastx import is_plain_fastq
+        self.path = path
+        self.cfg = cfg
+        self.filter_stats = filter_stats
+        self.skip_groups = skip_groups
+        self._marks: dict = {}   # gi -> (offset_after, short_reads_seen)
+        self.seekable = is_plain_fastq(path)
+        self._start_offset = 0
+        self._start_gi = 0
+        if (self.seekable and skip_groups and manifest
+                and manifest.get("next_offset") is not None):
+            self._start_offset = manifest["next_offset"]
+            self._start_gi = skip_groups
+            filter_stats.short_reads = manifest.get("short_reads_seen", 0)
+
+    def __iter__(self):
+        gi = self._start_gi
+        if not self.seekable:
+            for group in _read_groups(self.path, self.cfg.lencutoff,
+                                      self.cfg.group_size,
+                                      self.filter_stats):
+                gi += 1
+                yield gi, group
+            return
+        from ..io.fastx import read_fastq_offsets
+        group: list = []
+        for rec, off in read_fastq_offsets(self.path, self._start_offset):
+            if len(rec.seq) < self.cfg.lencutoff:
+                self.filter_stats.short_reads += 1
+                continue
+            group.append(rec)
+            if len(group) == self.cfg.group_size:
+                gi += 1
+                self._marks[gi] = (off, self.filter_stats.short_reads)
+                yield gi, group
+                group = []
+        if group:
+            gi += 1
+            self._marks[gi] = (None, self.filter_stats.short_reads)
+            yield gi, group
+
+    def checkpoint_fields(self, gi: int) -> dict:
+        """Manifest fields for a checkpoint at group ``gi`` (pruning
+        older marks; the final partial group stores no offset — there is
+        nothing after it to resume to)."""
+        mark = self._marks.get(gi)
+        for k in [k for k in self._marks if k <= gi]:
+            del self._marks[k]
+        if mark is None or mark[0] is None:
+            return {}
+        return {"next_offset": mark[0], "short_reads_seen": mark[1]}
+
+
 def _format_qual(q: np.ndarray) -> str:
     return (np.clip(q.astype(np.int16), 0, 93) + 33).astype(np.uint8) \
         .tobytes().decode("ascii")
@@ -247,6 +316,7 @@ def run_pipeline(reads_path: str, splint_path: str, out_path: str,
     key = cfg.resume_key(reads_path, splint_path)
     skip_groups = 0
     restore_sizes = None
+    manifest = None
     span_groups: list = []   # multihost: per-group cumulative file sizes
     if cfg.resume and not cfg.compress:
         manifest = _load_manifest(out_path, key)
@@ -278,7 +348,8 @@ def run_pipeline(reads_path: str, splint_path: str, out_path: str,
                 json.dump({"key": key, "groups_done": gi,
                            "files": sizes,
                            "stats": dataclasses.asdict(stats),
-                           "span_groups": span_groups}, fh)
+                           "span_groups": span_groups,
+                           **stream.checkpoint_fields(gi)}, fh)
             if (cfg.rss_restart_mb and gi > skip_groups
                     and rss_mb() > cfg.rss_restart_mb):
                 # the manifest for gi is durable; a fresh process resumes
@@ -322,22 +393,22 @@ def run_pipeline(reads_path: str, splint_path: str, out_path: str,
     deep = overlap and cfg.cons.rounds == 1
     loc_executor = ThreadPoolExecutor(max_workers=1) if deep else None
 
+    # filter_stats counts short reads while streaming; on a seek-resume
+    # the skipped prefix's count is restored from the manifest instead
+    # of re-parsing the file (see _GroupStream)
+    filter_stats = PipelineStats()
+    stream = _GroupStream(reads_path, cfg, filter_stats, skip_groups,
+                          manifest)
     try:
-        # short-read counting re-streams from the file start, so it is
-        # recomputed in full even on resume
-        filter_stats = PipelineStats()
         if use_mp:
-            _run_groups_mp(reads_path, combos, cfg, writers, stats,
+            _run_groups_mp(stream, combos, cfg, writers, stats,
                            filter_stats, skip_groups, mine, checkpoint,
                            profiler, progress)
         elif deep:
             from collections import deque
-            gi = 0
             owned = 0  # this host's processed-group counter (arena slot)
             prepped: deque = deque()  # (gi, prep future), depth <= 2
-            for group in _read_groups(reads_path, cfg.lencutoff,
-                                      cfg.group_size, filter_stats):
-                gi += 1
+            for gi, group in stream:
                 if gi <= skip_groups or not mine(gi):
                     continue
                 owned += 1
@@ -357,11 +428,8 @@ def run_pipeline(reads_path: str, splint_path: str, out_path: str,
                 pgi, pfut = prepped.popleft()
                 finish_prep(pgi, pfut.result())
         else:
-            gi = 0
             pending = None  # (gi, group, future)
-            for group in _read_groups(reads_path, cfg.lencutoff,
-                                      cfg.group_size, filter_stats):
-                gi += 1
+            for gi, group in stream:
                 if gi <= skip_groups or not mine(gi):
                     continue
                 if executor is not None:
@@ -410,7 +478,7 @@ def run_pipeline(reads_path: str, splint_path: str, out_path: str,
     return stats
 
 
-def _run_groups_mp(reads_path, combos, cfg, writers, stats, filter_stats,
+def _run_groups_mp(stream, combos, cfg, writers, stats, filter_stats,
                    skip_groups, mine, checkpoint, profiler, progress):
     """CPU multiprocessing: whole read groups fan out to worker processes
     (spawn, like the reference C3POa.py:279); the parent writes returned
@@ -424,10 +492,7 @@ def _run_groups_mp(reads_path, combos, cfg, writers, stats, filter_stats,
     from ..utils.procpool import imap_strict
 
     def payloads():
-        gi = 0
-        for group in _read_groups(reads_path, cfg.lencutoff, cfg.group_size,
-                                  filter_stats):
-            gi += 1
+        for gi, group in stream:
             if gi <= skip_groups or not mine(gi):
                 continue
             yield gi, group, combos, cfg

@@ -196,3 +196,53 @@ def test_resume_deep_pipeline_backend(tmp_path):
         a = open(os.path.join(full, "Splint1", f)).read()
         b = open(os.path.join(resumed, "Splint1", f)).read()
         assert a == b, f"{f} differs after deep-pipeline resume"
+
+
+def test_seek_resume_skips_completed_input(tmp_path, monkeypatch):
+    """Resuming from a manifest with next_offset must SEEK (start
+    mid-file) rather than re-parse completed input, and the final
+    output must be byte-identical to an uninterrupted run."""
+    import c3poa_tpu.io.fastx as fastx
+    import c3poa_tpu.pipeline.run as R
+    from c3poa_tpu.utils.mem import RssRestartNeeded
+
+    reads, splints = sim.make_dataset(
+        n_reads=9, seed=13, insert_len=(300, 500), copies=(3, 5),
+        error=0.04)
+    sim.write_fastq(str(tmp_path / "r.fastq"), reads)
+    sim.write_fasta(str(tmp_path / "s.fasta"), splints)
+    args = (str(tmp_path / "r.fastq"), str(tmp_path / "s.fasta"))
+
+    clean = str(tmp_path / "clean")
+    run_pipeline(*args, clean, PipelineConfig(group_size=3, lencutoff=100))
+
+    starts = []
+    orig = fastx.read_fastq_offsets
+
+    def spy(path, start_offset=0):
+        starts.append(start_offset)
+        return orig(path, start_offset)
+
+    monkeypatch.setattr(fastx, "read_fastq_offsets", spy)
+    out = str(tmp_path / "restarted")
+    cfg = PipelineConfig(group_size=3, lencutoff=100, resume=True,
+                         rss_restart_mb=1)  # restart after every group
+    sessions = 0
+    while True:
+        sessions += 1
+        assert sessions < 20
+        try:
+            run_pipeline(*args, out, cfg)
+            break
+        except RssRestartNeeded:
+            continue
+    assert sessions > 1
+    # every session after the first started mid-file
+    assert starts[0] == 0 and all(s > 0 for s in starts[1:]), starts
+    for fname in ("R2C2_Consensus.fasta", "R2C2_Subreads.fastq"):
+        a = open(os.path.join(clean, "Splint1", fname)).read()
+        b = open(os.path.join(out, "Splint1", fname)).read()
+        assert a == b, f"{fname} differs after seek-resume"
+    log_a = open(os.path.join(clean, "c3poa.log")).read()
+    log_b = open(os.path.join(out, "c3poa.log")).read()
+    assert log_a == log_b  # short-read accounting identical
