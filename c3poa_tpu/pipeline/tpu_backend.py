@@ -434,9 +434,14 @@ class TpuBackend:
                     prof.current.count("locate_compiled_shapes")
                 if self.mesh is not None:
                     res = self._sharded_locate(tile)(R, lens, S)
-                elif os.environ.get("C3POA_PACK_UPLOAD", "0") == "1":
+                elif os.environ.get("C3POA_PACK_UPLOAD", "1") == "1":
                     # base-5 pack: 3x smaller host->device read upload,
-                    # unpacked on device (kernels/locate.pack_b5)
+                    # unpacked on device (kernels/locate.pack_b5).
+                    # DEFAULT ON: interleaved A/B measured 1.066x
+                    # end-to-end (won all 3 rounds) — the win is mostly
+                    # device-side (kernel+upload 547->439 ms at the
+                    # 32768 bucket, tools/locate_breakdown.py), not the
+                    # raw transfer (relay uploads run ~1.9 GB/s)
                     from ..kernels.locate import pack_b5
                     res = locate_device(pack_b5(R), lens, S, tile=tile,
                                         unpack_l=L)

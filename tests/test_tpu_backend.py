@@ -116,7 +116,7 @@ def test_packed_upload_locate_parity(dataset, monkeypatch):
               Combo(sname, "-", revcomp_encoded(scodes), len(scodes))]
     codes = [encode(r.seq) for r in reads]
 
-    monkeypatch.delenv("C3POA_PACK_UPLOAD", raising=False)
+    monkeypatch.setenv("C3POA_PACK_UPLOAD", "0")
     plain = TpuBackend().locate_many(codes, combos, 500)
     monkeypatch.setenv("C3POA_PACK_UPLOAD", "1")
     packed = TpuBackend().locate_many(codes, combos, 500)
@@ -130,7 +130,7 @@ def test_packed_upload_align_parity(dataset, monkeypatch):
     must leave the full pipeline output byte-identical."""
     d, reads, splints = dataset
     cfg = PipelineConfig(group_size=4)
-    monkeypatch.delenv("C3POA_PACK_ALIGN", raising=False)
+    monkeypatch.setenv("C3POA_PACK_ALIGN", "0")
     out_plain = str(d / "out_alplain")
     run_pipeline(str(d / "reads.fastq"), str(d / "splint.fasta"),
                  out_plain, cfg, TpuBackend())
