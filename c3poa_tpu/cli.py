@@ -171,8 +171,6 @@ def supervise(argv, module="c3poa_tpu.cli"):
     from .utils.mem import RESTART_EXIT_CODE
 
     cmd = [sys.executable, "-m", module] + list(argv)
-    if "--resume" not in cmd:
-        cmd.append("--resume")
     env = dict(os.environ, C3POA_SUPERVISED="1")
     restarts = -1
     while True:
@@ -183,6 +181,12 @@ def supervise(argv, module="c3poa_tpu.cli"):
                 print(f"rss supervisor: {restarts} restart(s)",
                       file=sys.stderr)
             return rc
+        # the first child launch uses the user's flags verbatim; only
+        # RESTARTS imply resume semantics — otherwise a fresh run into an
+        # output dir holding an old completed manifest would silently
+        # skip all work (ADVICE r3)
+        if "--resume" not in cmd:
+            cmd.append("--resume")
 
 
 def main(argv=None):
@@ -194,6 +198,12 @@ def main(argv=None):
               file=sys.stderr)
         sys.exit(1)
     if args.rss_restart_mb:
+        from .utils.mem import rss_mb
+        if rss_mb() == 0:
+            print("--rss-restart-mb: RSS monitoring unavailable on this "
+                  "platform (/proc/self/status unreadable); the memory "
+                  "bound will never trigger", file=sys.stderr)
+            sys.exit(1)
         if args.compress_output or args.num_processes > 1:
             print("--rss-restart-mb needs the resume manifest: not "
                   "supported with -co or --num_processes > 1 (compress "

@@ -89,6 +89,12 @@ def main(argv=None):
         sys.exit(1)
     import os
     if args.rss_restart_mb:
+        from .utils.mem import rss_mb
+        if rss_mb() == 0:
+            print("--rss-restart-mb: RSS monitoring unavailable on this "
+                  "platform (/proc/self/status unreadable); the memory "
+                  "bound will never trigger", file=sys.stderr)
+            sys.exit(1)
         if args.compress_output or args.num_processes > 1:
             print("--rss-restart-mb needs the resume manifest: not "
                   "supported with -co or --num_processes > 1",

@@ -32,7 +32,10 @@ def open_maybe_gzip(path: str):
         magic = probe.read(2)
     if magic == b"\x1f\x8b":
         return io.TextIOWrapper(gzip.open(path, "rb"), encoding="ascii")
-    return open(path, "r")
+    # ascii, matching read_fastq_offsets: both parsers must accept/reject
+    # the same inputs, or a seek-resume session could fail on a file the
+    # original session parsed (ADVICE r3)
+    return open(path, "r", encoding="ascii")
 
 
 def read_fastx(path: str) -> Iterator[FastxRecord]:

@@ -637,6 +637,19 @@ def release_arena_slot(slot: int, lease: int) -> None:
             del _SLOT_LEASES[slot]
 
 
+def reset_arena_leases() -> None:
+    """Clear every open record-arena lease.
+
+    Called from run_pipeline's cleanup after its executors have shut
+    down (no prepare/finalize work can still be in flight), so a run
+    that died mid-pipeline — RssRestartNeeded raised at a checkpoint
+    with preps queued, or any prep/finalize exception — doesn't leave
+    leases stuck in module globals and poison the next in-process run
+    with ArenaSlotCollision (ADVICE r3, medium)."""
+    with _slot_lock():
+        _SLOT_LEASES.clear()
+
+
 def set_arena_slot(slot: int) -> None:
     """Select the record-arena generation (double buffering).
 

@@ -452,6 +452,12 @@ def run_pipeline(reads_path: str, splint_path: str, out_path: str,
             executor.shutdown(wait=True)
         if loc_executor is not None:
             loc_executor.shutdown(wait=True)
+        # executors are drained: no prep/finalize can be in flight, so any
+        # lease still open belongs to a group abandoned by an exception
+        # (e.g. RssRestartNeeded with preps queued) — clear them so an
+        # in-process retry/resume doesn't hit ArenaSlotCollision
+        from .. import native
+        native.reset_arena_leases()
         progress.close()
         writers.close()
 
@@ -589,11 +595,23 @@ def _process_group(group, combos, cfg: PipelineConfig, backend, writers,
 
 def _finalize_group(prep: dict, cfg: PipelineConfig, writers,
                     stats: PipelineStats) -> None:
+    stats.no_splint += prep["no_splint"]
+    try:
+        _finalize_group_inner(prep, cfg, writers, stats)
+    finally:
+        # release even when a vote/write step raises, so an in-process
+        # retry (e.g. the RssRestartNeeded resume pattern) can claim
+        # the slot again instead of hitting ArenaSlotCollision
+        from .. import native
+        native.release_arena_slot(prep["arena_slot"], prep["arena_lease"])
+
+
+def _finalize_group_inner(prep: dict, cfg: PipelineConfig, writers,
+                          stats: PipelineStats) -> None:
     group = prep["group"]
     enc, quals = prep["enc"], prep["quals"]
     jobs, job_meta = prep["jobs"], prep["job_meta"]
     zero_jobs = prep["zero_jobs"]
-    stats.no_splint += prep["no_splint"]
 
     with prof.current.stage("consensus"):
         results = consensus_finalize(prep["state"])
@@ -663,9 +681,6 @@ def _finalize_group(prep: dict, cfg: PipelineConfig, writers,
                 sub_fh.write(subs_txt)
                 cons_fh.write(cons_txt)
     _t_wr.__exit__(None, None, None)
-    # the group's records (views into the slot's arenas) are consumed:
-    # free the generation for the prepare thread's next claim
-    native.release_arena_slot(prep["arena_slot"], prep["arena_lease"])
 
 
 def _collect_subreads(names: list, seqs: list, quals: list, name: str,

@@ -246,3 +246,44 @@ def test_seek_resume_skips_completed_input(tmp_path, monkeypatch):
     log_a = open(os.path.join(clean, "c3poa.log")).read()
     log_b = open(os.path.join(out, "c3poa.log")).read()
     assert log_a == log_b  # short-read accounting identical
+
+
+def test_rss_restart_in_process_with_deep_pipeline(tmp_path):
+    """In-process catch-RssRestartNeeded-and-retry with an OVERLAP
+    backend: RssRestartNeeded raised at a checkpoint while up to two
+    preps are in flight must not leak their record-arena leases — the
+    retry in the same process previously died with ArenaSlotCollision
+    (ADVICE r3, medium)."""
+    from c3poa_tpu.pipeline.tpu_backend import TpuBackend
+    from c3poa_tpu.utils.mem import RssRestartNeeded
+
+    reads, splints = sim.make_dataset(
+        n_reads=12, seed=17, insert_len=(300, 500), copies=(3, 5),
+        error=0.04)
+    sim.write_fastq(str(tmp_path / "r.fastq"), reads)
+    sim.write_fasta(str(tmp_path / "s.fasta"), splints)
+    args = (str(tmp_path / "r.fastq"), str(tmp_path / "s.fasta"))
+
+    clean = str(tmp_path / "clean")
+    backend = TpuBackend()
+    assert backend.supports_overlap  # the deep path is what's under test
+    run_pipeline(*args, clean, PipelineConfig(group_size=3, lencutoff=100),
+                 backend)
+
+    out = str(tmp_path / "restarted")
+    cfg = PipelineConfig(group_size=3, lencutoff=100, resume=True,
+                         rss_restart_mb=1)  # restart after every group
+    sessions = 0
+    while True:
+        sessions += 1
+        assert sessions < 20
+        try:
+            run_pipeline(*args, out, cfg, backend)
+            break
+        except RssRestartNeeded:
+            continue
+    assert sessions > 1
+    for fname in ("R2C2_Consensus.fasta", "R2C2_Subreads.fastq"):
+        a = open(os.path.join(clean, "Splint1", fname)).read()
+        b = open(os.path.join(out, "Splint1", fname)).read()
+        assert a == b, f"{fname} differs after in-process deep resume"
