@@ -117,31 +117,44 @@ def cpu_proxy_baseline(d: str) -> dict:
     return cached
 
 
-def wait_for_accelerator() -> None:
+def wait_for_accelerator() -> dict:
     """The relayed TPU on this box can be DOWN, in which case jax device
     init hangs forever instead of erroring.  Probe it in a subprocess
     under a timeout (import + devices + one materialized computation),
     retrying up to BENCH_RELAY_WAIT seconds, so the bench either runs on
     a live chip or fails fast with a clear message — never hangs the
     driver.  A cpu-platform probe result (no accelerator configured at
-    all) passes through: the bench then measures the jax CPU backend."""
+    all) passes through: the bench then measures the jax CPU backend.
+
+    Returns relay-health telemetry: {"probe_s": seconds the successful
+    probe took, "probe_retries": failed attempts before it} — recorded
+    in the bench output so a reader can tell a degraded-relay number
+    from a real regression (round-3 lesson: BENCH_r03 recorded a
+    sick-relay 288 r/s with nothing in the artifact saying so)."""
     import subprocess
     deadline = time.time() + float(os.environ.get("BENCH_RELAY_WAIT", "900"))
     probe = ("import jax; d = jax.devices(); "
              "jax.numpy.ones(8).sum().item(); "
              "print('PLATFORM=' + d[0].platform)")
+    retries = 0
     while True:
+        t0 = time.time()
         try:
             r = subprocess.run([sys.executable, "-c", probe],
                                capture_output=True, timeout=120, text=True)
             if r.returncode == 0 and "PLATFORM=" in r.stdout:
                 plat = r.stdout.rsplit("PLATFORM=", 1)[1].strip()
-                print(f"# accelerator probe ok: {plat}", file=sys.stderr)
-                return
+                probe_s = time.time() - t0
+                print(f"# accelerator probe ok: {plat} "
+                      f"({probe_s:.1f}s, {retries} retries)",
+                      file=sys.stderr)
+                return {"probe_s": round(probe_s, 2),
+                        "probe_retries": retries}
             err = (r.stderr or "").strip().splitlines()
             msg = err[-1] if err else f"exit {r.returncode}"
         except subprocess.TimeoutExpired:
             msg = "device init timed out (relay down?)"
+        retries += 1
         if time.time() > deadline:
             raise RuntimeError(
                 f"accelerator unreachable after BENCH_RELAY_WAIT: {msg}")
@@ -151,11 +164,13 @@ def wait_for_accelerator() -> None:
 
 
 def main():
-    # 2048 reads in four 512-read groups: the 3-stage pipeline (locate
+    # 4096 reads in eight 512-read groups: the 3-stage pipeline (locate
     # g+2 / align g+1 / finalize g) reaches steady state from group 3,
-    # the shape long production runs spend all their time in
-    n_reads = int(os.environ.get("BENCH_READS", "2048"))
-    wait_for_accelerator()
+    # so 8 groups dilute the pipeline fill to ~1 group of drag — closer
+    # to the steady state long production runs spend all their time in
+    # (the 1M-read soak sustained within ~5% of this shape's number)
+    n_reads = int(os.environ.get("BENCH_READS", "4096"))
+    relay = wait_for_accelerator()
 
     with tempfile.TemporaryDirectory() as d:
         from c3poa_tpu.pipeline.backend import NumpyBackend
@@ -175,17 +190,42 @@ def main():
         # minutes the first time, seconds after)
         make_dataset(d, n_reads)
         gs = min(512, max(1, n_reads // 2))
+        t_w0 = time.time()
         run_once(d, os.path.join(d, "warm"), backend, group_size=gs)
-        # best of three measured passes: the relayed runtime has 20-30%
-        # run-to-run variance on identical code
-        stats, dt = run_once(d, os.path.join(d, "out"), backend,
-                             group_size=gs)
-        for rep in (2, 3):
-            stats2, dt2 = run_once(d, os.path.join(d, f"out{rep}"),
-                                   backend, group_size=gs)
-            if dt2 < dt:
-                stats, dt = stats2, dt2
-        reads_s = stats.total_reads / dt
+        warmup_s = time.time() - t_w0
+
+        # measured passes (fresh output dirs, identical input).  The
+        # relayed runtime has 20-30% run-to-run variance on identical
+        # code, so: best-of-3 is the headline, every pass is recorded,
+        # and a DEGRADED relay (probe retries fired, or pass spread
+        # beyond 1.6x) triggers a backoff + up to 2 extra passes rather
+        # than silently recording a sick-relay number (round-3 lesson).
+        passes = []          # (reads/s, out_dir, stats)
+        def one_pass(tag):
+            st, dtp = run_once(d, os.path.join(d, tag), backend,
+                               group_size=gs)
+            rs = st.total_reads / dtp
+            passes.append((rs, os.path.join(d, tag), st))
+            print(f"# pass {tag}: {rs:.1f} reads/s ({dtp:.1f}s)",
+                  file=sys.stderr)
+
+        for rep in (1, 2, 3):
+            one_pass(f"out{rep}")
+        rates = [p[0] for p in passes]
+        degraded = (relay["probe_retries"] > 0
+                    or max(rates) / max(min(rates), 1e-9) > 1.6)
+        if degraded:
+            backoff = float(os.environ.get("BENCH_DEGRADED_BACKOFF", "60"))
+            print(f"# relay degraded (retries={relay['probe_retries']}, "
+                  f"spread={max(rates) / min(rates):.2f}x): backing off "
+                  f"{backoff:.0f}s, then 2 extra passes", file=sys.stderr)
+            time.sleep(backoff)
+            for rep in (4, 5):
+                one_pass(f"out{rep}")
+            rates = [p[0] for p in passes]
+
+        reads_s, best_out, stats = max(passes, key=lambda p: p[0])
+        median_rs = sorted(rates)[len(rates) // 2]
 
         baseline_32t = base["baseline_32t"]
         result = {
@@ -193,10 +233,18 @@ def main():
             "value": round(reads_s, 3),
             "unit": "reads/s",
             "vs_baseline": round(reads_s / baseline_32t, 3),
+            # context: a reader can tell a sick-relay artifact (high
+            # probe_retries / wide pass spread) from a real regression
+            "passes": [round(r, 1) for r in rates],
+            "median": round(median_rs, 3),
+            "median_vs_baseline": round(median_rs / baseline_32t, 3),
+            "warmup_s": round(warmup_s, 1),
+            "relay": relay,
+            "reads": n_reads,
         }
         print(json.dumps(result))
-        print(f"# {stats.consensus_written}/{stats.total_reads} consensi in "
-              f"{dt:.1f}s ({name}); C-grade proxy baseline measured on "
+        print(f"# {stats.consensus_written}/{stats.total_reads} consensi "
+              f"({name}); C-grade proxy baseline measured on "
               f"{base['reads']} reads, {base['cores']} cores: 1-thread "
               f"{base['t1_reads_per_sec']:.2f} r/s, -n 32 run "
               f"{base['t32_reads_per_sec']:.2f} r/s, baseline "
@@ -204,6 +252,19 @@ def main():
               f"{base.get('baseline_numpy_32t', 0):.2f} r/s "
               f"(cache {BASELINE_CACHE})",
               file=sys.stderr)
+        # per-stage steady-state profile of the best pass (stage seconds
+        # overlap across the three pipeline threads; see BENCHMARKS.md)
+        try:
+            sp = json.load(open(os.path.join(
+                best_out, "c3poa_stats.json")))
+            n_groups = max(1, n_reads // gs)
+            stages = sp.get("stages_s", {})
+            line = "  ".join(
+                f"{k}={stages[k] / n_groups:.3f}"
+                for k in sorted(stages, key=lambda k: -stages[k]))
+            print(f"# stage s/group (best pass): {line}", file=sys.stderr)
+        except (OSError, ValueError):
+            pass
 
 
 if __name__ == "__main__":

@@ -390,6 +390,69 @@ def consensus_read(subreads, sub_quals, dangling, dangling_quals,
     return consensus_many([job], p, align_many)[0]
 
 
+def zero_params(p: ConsensusParams, band: int) -> ConsensusParams:
+    """The zero-repeat overlap's alignment parameterization: mappy
+    scoring=(20, 7, 10, 5) (reference bin/determine_consensus.py:117)
+    at the given band."""
+    return dataclasses.replace(
+        p, match=p.z_match, mismatch=p.z_mismatch,
+        gap_open=p.z_gap_open, gap_ext=p.z_gap_ext, band=band)
+
+
+def zero_prepare(sub0, qual0, sub1, qual1,
+                 p: ConsensusParams) -> dict | None:
+    """Host half of the zero-repeat splice: locate the 3'-onto-5'
+    fragment overlap and build the alignable overlap pair.  Returns
+    None when no overlap exists (empty consensus), else a state dict
+    for ``zero_finalize``.  The pipelined runner calls this on its
+    prepare thread and batches every state's ``pair`` (band == p.band,
+    the common case) into ONE device launch per group; wider bands
+    (large overlap length mismatch — the band is part of the spec, so
+    an arbitrary W cannot share a compiled kernel) align serially in
+    zero_finalize."""
+    hit = find_overlap(np.asarray(sub0), np.asarray(sub1))
+    if hit is None:
+        return None
+    r_st, r_en, q_st, q_en = hit
+    ov0, ovq0 = np.asarray(sub0[r_st:r_en]), np.asarray(qual0[r_st:r_en])
+    ov1, ovq1 = np.asarray(sub1[q_st:q_en]), np.asarray(qual1[q_st:q_en])
+    if len(ov0) == 0 or len(ov1) == 0:
+        return None
+    band = max(p.band, 2 * abs(len(ov0) - len(ov1)) + 64)
+    return {"sub0": sub0, "qual0": qual0, "sub1": sub1, "qual1": qual1,
+            "r_en": r_en, "q_st": q_st, "ov0": ov0, "ovq0": ovq0,
+            "band": band, "pair": (ov1, ovq1, ov0, band)}
+
+
+def zero_finalize(st: dict | None, p: ConsensusParams, aln=None):
+    """Merge + splice half of the zero-repeat path.  ``aln`` is the
+    overlap SubreadAln from a batched device launch; None (no batch, or
+    a wider-than-p.band pair) aligns serially here at the exact spec
+    band — identical records either way."""
+    if st is None:
+        return np.zeros(0, dtype=np.int8), np.zeros(0, dtype=np.int8)
+    ov0, ovq0 = st["ov0"], st["ovq0"]
+    if aln is None:
+        zp = zero_params(p, st["band"])
+        (aln,) = serial_align_many([st["pair"][:3]], zp)
+    if p.pairwise:
+        # the reference merges the two overlap rows with the 2-row quality
+        # rule (bin/determine_consensus.py:130-134 -> bin/consensus.py)
+        merged, merged_q = pairwise_merge(ov0, ovq0, aln.rec, aln.query,
+                                          aln.qual)
+    else:
+        alns = [record_for_draft(ov0, ovq0), aln]
+        merged, merged_q = vote_consensus(len(ov0), alns, qmin=p.qmin)
+
+    sub0, sub1 = st["sub0"], st["sub1"]
+    qual0, qual1 = st["qual0"], st["qual1"]
+    r_en, q_st = st["r_en"], st["q_st"]
+    cons = np.concatenate([sub1[:q_st], merged, sub0[r_en:]]).astype(np.int8)
+    cons_q = np.concatenate([qual1[:q_st], merged_q,
+                             qual0[r_en:]]).astype(np.int8)
+    return cons, cons_q
+
+
 def zero_repeat_consensus(sub0, qual0, sub1, qual1,
                           p: ConsensusParams | None = None):
     """Splice a single-peak read's two fragments around their overlap.
@@ -398,30 +461,9 @@ def zero_repeat_consensus(sub0, qual0, sub1, qual1,
     exactly the reference zero_repeats (bin/determine_consensus.py:106-136):
     result = sub1[:q_st] + merge(sub0[r_st:r_en], sub1[q_st:q_en]) + sub0[r_en:]
     Returns (codes, quals) or empty arrays when no overlap is found.
-    """
+
+    Single-call convenience over zero_prepare + zero_finalize (the
+    pipelined runner uses the halves to batch overlap alignments onto
+    the device)."""
     p = p or ConsensusParams()
-    hit = find_overlap(np.asarray(sub0), np.asarray(sub1))
-    if hit is None:
-        return np.zeros(0, dtype=np.int8), np.zeros(0, dtype=np.int8)
-    r_st, r_en, q_st, q_en = hit
-
-    ov0, ovq0 = np.asarray(sub0[r_st:r_en]), np.asarray(qual0[r_st:r_en])
-    ov1, ovq1 = np.asarray(sub1[q_st:q_en]), np.asarray(qual1[q_st:q_en])
-    if len(ov0) == 0 or len(ov1) == 0:
-        return np.zeros(0, dtype=np.int8), np.zeros(0, dtype=np.int8)
-    zp = dataclasses.replace(
-        p, match=p.z_match, mismatch=p.z_mismatch,
-        gap_open=p.z_gap_open, gap_ext=p.z_gap_ext,
-        band=max(p.band, 2 * abs(len(ov0) - len(ov1)) + 64))
-    (a,) = serial_align_many([(ov1, ovq1, ov0)], zp)
-    if p.pairwise:
-        # the reference merges the two overlap rows with the 2-row quality
-        # rule (bin/determine_consensus.py:130-134 -> bin/consensus.py)
-        merged, merged_q = pairwise_merge(ov0, ovq0, a.rec, a.query, a.qual)
-    else:
-        alns = [record_for_draft(ov0, ovq0), a]
-        merged, merged_q = vote_consensus(len(ov0), alns, qmin=p.qmin)
-
-    cons = np.concatenate([sub1[:q_st], merged, sub0[r_en:]]).astype(np.int8)
-    cons_q = np.concatenate([qual1[:q_st], merged_q, qual0[r_en:]]).astype(np.int8)
-    return cons, cons_q
+    return zero_finalize(zero_prepare(sub0, qual0, sub1, qual1, p), p)

@@ -442,13 +442,14 @@ def _kernel_sb(ql_ref, tl_ref, q_ref, t_ref, mvp_ref, score_ref, jend_ref,
 
 @functools.partial(jax.jit, static_argnames=(
     "band", "match", "mismatch", "gap_open", "gap_ext", "interpret",
-    "p_tile", "nh", "superblock", "fold"))
+    "p_tile", "nh", "superblock", "fold", "vmem_mb"))
 def banded_fwd_pallas_packed(queries, targets, q_lens, t_lens,
                              band: int = 128, match: int = 5,
                              mismatch: int = -4, gap_open: int = 4,
                              gap_ext: int = 2, interpret: bool = False,
                              p_tile: int = P_TILE, nh: int = 1,
-                             superblock: bool = False, fold: bool = False):
+                             superblock: bool = False, fold: bool = False,
+                             vmem_mb: int = 0):
     """Forward pass: returns (scores (P,), j_end (P,),
     packed moves (P, nq_pad/8, W) int32 — row i's move byte is nibble
     (i-1) % 8 of word (i-1)//8).
@@ -524,9 +525,16 @@ def banded_fwd_pallas_packed(queries, targets, q_lens, t_lens,
         kernel = functools.partial(_kernel, NH=nh, **common)
         scratch += [pltpu.VMEM((P_TILE, QW), jnp.int32),   # query window
                     pltpu.VMEM((P_TILE, 1), jnp.int32)]    # lo_prev
+    # scoped-VMEM ceiling: Mosaic defaults to 16 MB, which binds p_tile
+    # at 64 (48 with fold) — the physical VMEM is larger, so a raised
+    # limit lets fatter tiles (more pairs per op issue) be A/B'd on
+    # hardware.  0 = compiler default.
+    cparams = (pltpu.CompilerParams(vmem_limit_bytes=vmem_mb << 20)
+               if vmem_mb else None)
     mvp, score, jend = pl.pallas_call(
         kernel,
         grid=(nP, NC),
+        compiler_params=cparams,
         in_specs=[
             pl.BlockSpec((P_TILE, 1), lambda p, c: (p, 0),
                          memory_space=pltpu.VMEM),
@@ -601,7 +609,8 @@ def banded_align_trace_pallas(queries, targets, q_lens, t_lens,
 
 @functools.partial(jax.jit, static_argnames=(
     "band", "match", "mismatch", "gap_open", "gap_ext", "interpret",
-    "p_tile", "shrink", "nh", "wide_walk", "superblock", "fold"))
+    "p_tile", "shrink", "nh", "wide_walk", "superblock", "fold",
+    "vmem_mb"))
 def banded_align_trace_pallas_cached(queries, targets, q_lens, t_lens,
                                      band: int = 128, match: int = 5,
                                      mismatch: int = -4, gap_open: int = 4,
@@ -611,7 +620,8 @@ def banded_align_trace_pallas_cached(queries, targets, q_lens, t_lens,
                                      shrink: int = 5, nh: int = 1,
                                      wide_walk: bool = False,
                                      superblock: bool = False,
-                                     fold: bool = False):
+                                     fold: bool = False,
+                                     vmem_mb: int = 0):
     """Pallas forward + the word-cached walk (kernels.banded
     walk_ops_cached).  Returns (scores, j_end, j_start, i_rem,
     packed_ops, edge) — ops are 2-bit packed with gaps; consume with
@@ -622,7 +632,7 @@ def banded_align_trace_pallas_cached(queries, targets, q_lens, t_lens,
         queries, targets, q_lens, t_lens, band=band, match=match,
         mismatch=mismatch, gap_open=gap_open, gap_ext=gap_ext,
         interpret=interpret, p_tile=p_tile, nh=nh, superblock=superblock,
-        fold=fold)
+        fold=fold, vmem_mb=vmem_mb)
     # wide halves the serial gather chain per substep, but hits/gather
     # cap below 2x (column drift + word-row crossings over 16 substeps):
     # shrink+2 keeps every pair completing at nanopore error rates

@@ -59,7 +59,10 @@ class NumpyBackend:
             out.append(LocateResult(best_c, best_score, pks))
         return out
 
-    def align_many(self, pairs, params: ConsensusParams):
+    def align_many(self, pairs, params: ConsensusParams,
+                   phase_base: int = 0):
+        # phase_base: arena-phase offset, meaningful only for the device
+        # backend's shared record arenas (tpu_backend.align_many)
         from ..consensus.engine import _pair_band
         from ..utils import prof
         prof.current.count("align_pairs", len(pairs))

@@ -248,14 +248,18 @@ def _align_trace_impl(Q, T, ql, tl, *, band, match, mismatch, gap_open,
         # byte-parity gate (tools/pipe_ab.py, tools/hwcheck.py) lands.
         fold = os.environ.get("C3POA_ALIGN_FOLD", "0") == "1"
         sb = fold or os.environ.get("C3POA_ALIGN_SB", "0") == "1"
-        if fold:
+        # C3POA_ALIGN_VMEM_MB raises Mosaic's 16 MB scoped-VMEM default
+        # so fatter p_tiles compile (static arg -> distinct compilations)
+        vmem_mb = int(os.environ.get("C3POA_ALIGN_VMEM_MB", "0"))
+        if fold and not vmem_mb:
             # the fused [H|E|buf] temps push p_tile=64 past the 16 MB
             # scoped-VMEM limit (measured 16.95M at nq=1536); 48 fits
             pt = min(pt, 48)
         return banded_align_trace_pallas_cached(
             Q, T, ql, tl, band=band, match=match, mismatch=mismatch,
             gap_open=gap_open, gap_ext=gap_ext, p_tile=pt, nh=nh,
-            wide_walk=wide, superblock=sb, fold=fold), True
+            wide_walk=wide, superblock=sb, fold=fold,
+            vmem_mb=vmem_mb), True
     return banded_align_trace_batch(
         Q, T, ql, tl, band=band, match=match, mismatch=mismatch,
         gap_open=gap_open, gap_ext=gap_ext), False
@@ -537,7 +541,12 @@ class TpuBackend:
 
     # ---------------- align ----------------
 
-    def align_many(self, pairs, params: ConsensusParams) -> list[SubreadAln]:
+    def align_many(self, pairs, params: ConsensusParams,
+                   phase_base: int = 0) -> list[SubreadAln]:
+        """``phase_base`` offsets the record-arena phase of this call's
+        launches: a SECOND align_many within one group (the zero-repeat
+        overlap batch) must not reuse the main call's arena phases while
+        both calls' records are still alive (native.ops_records_batch)."""
         from ..consensus.engine import _pair_band
         from ..utils import prof
         prof.current.count(
@@ -546,9 +555,10 @@ class TpuBackend:
             "align_cells",
             sum(len(pr[0]) * _pair_band(pr, params) for pr in pairs))
         with prof.current.stage("align"):
-            return self._align_many(pairs, params)
+            return self._align_many(pairs, params, phase_base)
 
-    def _align_many(self, pairs, params: ConsensusParams) -> list[SubreadAln]:
+    def _align_many(self, pairs, params: ConsensusParams,
+                    phase_base: int = 0) -> list[SubreadAln]:
         from ..consensus.engine import _pair_band
         out: list = [None] * len(pairs)
 
@@ -710,7 +720,7 @@ class TpuBackend:
                     recs = native.ops_records_batch(
                         [w[1] for w in work], [w[3] for w in work],
                         opsmat, [w[5] for w in work], packed=packed,
-                        phase=li)
+                        phase=li + phase_base)
                 if recs is not None:
                     for (i, q, qual, t, _o, _j, score, _p), rec in \
                             zip(work, recs):
