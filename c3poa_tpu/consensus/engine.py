@@ -85,6 +85,16 @@ class ConsensusParams:
     z_mismatch: int = -7
     z_gap_open: int = 10
     z_gap_ext: int = 5
+    # Divergence detector: reads whose voters' aligned fractions
+    # (min(span, qlen)/max(span, qlen) per record) average BELOW this
+    # route to the exact POA graph consensus (ref/poa.py) instead of
+    # align-to-draft voting — the abPOA-class fallback for structurally
+    # divergent copies (chimeras, truncations) where the near-linear
+    # assumption breaks.  Measured separation (tools/adversarial_sweep):
+    # clean/err15/misq reads sit at 0.996+, chimera/trunc at 0.91-0.95;
+    # chimera at 8 copies: engine 94 errors vs POA 11 per 16 kb.
+    # 0 disables.  Counted as poa_fallback_reads in c3poa_stats.json.
+    poa_fallback: float = 0.97
 
 
 def _native_available() -> bool:
@@ -310,9 +320,40 @@ def consensus_finalize(state: dict) -> list:
         cons[ji], cons_q[ji] = vote_consensus(
             len(draft), voters, qmin=p.qmin)
 
+    def _diverged(ji) -> bool:
+        """Cheap per-read divergence detector on records already in
+        hand: mean symmetric aligned fraction of the voters.  Flags
+        chimeric/truncated copy structure (ConsensusParams.poa_fallback)
+        without extra device work."""
+        others = by_owner.get(ji, [])
+        if p.poa_fallback <= 0 or not others:
+            return False
+        acc = 0.0
+        for a in others:
+            span = max(a.rec.j_end - a.rec.j_start, 0)
+            ql = max(len(a.query), 1)
+            acc += min(span, ql) / max(span, ql, 1)
+        return (acc / len(others)) < p.poa_fallback
+
     pending_votes = [ji for ji in range(n)
                      if isinstance(cons[ji], tuple) and cons[ji][0] == "draft"]
     from ..utils import prof
+    routed = [ji for ji in pending_votes if _diverged(ji)]
+    if routed:
+        # POA-graph fallback: consensus of the core subreads in read
+        # order (the abPOA role, bin/determine_consensus.py:42-47) —
+        # host-side and backend-independent, so outputs stay identical
+        # across numpy/scan/Pallas/mesh
+        from ..ref.poa import poa_consensus
+        prof.current.count("poa_fallback_reads", len(routed))
+        with prof.current.stage("poa_fallback"):
+            for ji in routed:
+                job = jobs[ji]
+                cons[ji], cons_q[ji] = poa_consensus(job.subreads,
+                                                     job.sub_quals)
+        routed_set = set(routed)
+        pending_votes = [ji for ji in pending_votes
+                         if ji not in routed_set]
     with prof.current.stage("vote"):
         batch_jis = []
         if len(pending_votes) > 16 and _native_available():

@@ -64,6 +64,46 @@ def test_truncated_copy_does_not_degrade():
     assert levenshtein(decode(with_t), ins) <= base + 2
 
 
+def test_divergence_detector_routes_chimeric_reads():
+    """The engine's poa_fallback detector: chimera-laden reads route to
+    the POA graph path (matching its accuracy); clean reads do not
+    route (outputs unchanged — the golden fixtures depend on this)."""
+    from c3poa_tpu.consensus.engine import ConsensusParams, consensus_read
+    from c3poa_tpu.utils import prof
+
+    rng = np.random.default_rng(5)
+    ins = sim.random_seq(rng, 600)
+    subs = [encode(sim.mutate(rng, ins, 0.03, 0.015, 0.015))
+            for _ in range(6)]
+    quals = [_q(len(s)) for s in subs]
+    # poison two copies with junk tails (chimeras)
+    for k in (1, 4):
+        junk = encode(sim.random_seq(rng, 250))
+        subs[k] = np.concatenate([subs[k], junk])
+        quals[k] = np.concatenate([quals[k], _q(250)])
+
+    p = ConsensusParams()
+    prof.reset()
+    cons, _ = consensus_read(subs, quals, [], [], p)
+    assert prof.current.counts.get("poa_fallback_reads", 0) == 1
+    oracle, _ = poa_consensus(subs, quals)
+    assert np.array_equal(cons, oracle)  # routed = the POA path
+
+    # clean read: no routing, vote path untouched
+    clean = [encode(sim.mutate(rng, ins, 0.03, 0.015, 0.015))
+             for _ in range(6)]
+    cq = [_q(len(s)) for s in clean]
+    prof.reset()
+    consensus_read(clean, cq, [], [], p)
+    assert prof.current.counts.get("poa_fallback_reads", 0) == 0
+
+    # detector off: the vote path handles the chimeric read
+    p_off = ConsensusParams(poa_fallback=0.0)
+    prof.reset()
+    consensus_read(subs, quals, [], [], p_off)
+    assert prof.current.counts.get("poa_fallback_reads", 0) == 0
+
+
 def test_chimeric_tail_stays_out_of_graph():
     """A copy with a garbage tail (chimera) fuses only its aligned core;
     the junk must not reach the consensus."""

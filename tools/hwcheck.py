@@ -36,7 +36,9 @@ PARITY_TOGGLES = ["C3POA_WALK_WIDE=0,1", "C3POA_PROFILE_PHASED=0,1",
                   "C3POA_ALIGN_SB=0,1", "C3POA_ALIGN_FOLD=0,1",
                   "C3POA_PROFILE_TL=2048,4096",
                   "C3POA_PACK_UPLOAD=0,1", "C3POA_PACK_ALIGN=0,1",
-                  "C3POA_FAST_BAND=0,64"]
+                  "C3POA_FAST_BAND=0,64",
+                  "C3POA_ALIGN_VMEM_MB=0,64",
+                  "C3POA_ALIGN_PTILE=32,64"]
 
 
 def run_parity(d, n_reads, backend, toggles):

@@ -13,6 +13,11 @@ Usage:
 
 Default VAR is C3POA_ALIGN_PIPE=1,2 (the dual-DP-state software
 pipeline).  The wide walk cache: C3POA_WALK_WIDE=0,1.
+
+Multi-variable arms: join names and values with '+':
+    VAR1+VAR2=a1+a2;b1+b2
+e.g. "C3POA_ALIGN_PTILE+C3POA_ALIGN_VMEM_MB=64+0;128+64" alternates
+(PTILE=64, no vmem raise) against (PTILE=128, 64 MB limit).
 """
 
 import os
@@ -33,6 +38,14 @@ def main():
         var, vals = sys.argv[3].split("=", 1)
         # ";" separates arms when the values themselves hold commas
         arms = tuple(vals.split(";") if ";" in vals else vals.split(","))
+    names = var.split("+")
+
+    def set_arm(arm):
+        for name, val in zip(names, arm.split("+")):
+            if val == "":
+                os.environ.pop(name, None)
+            else:
+                os.environ[name] = val
     from c3poa_tpu.pipeline.tpu_backend import TpuBackend
     backend = TpuBackend()
     with tempfile.TemporaryDirectory() as d:
@@ -40,15 +53,15 @@ def main():
         gs = min(512, max(1, n_reads // 2))
         times = {a: [] for a in arms}
         # warm both arms (each compiles its own static-arg kernels)
-        for arm in arms:
-            os.environ[var] = arm
-            run_once(d, os.path.join(d, f"warm{arm}"), backend,
+        for ai, arm in enumerate(arms):
+            set_arm(arm)
+            run_once(d, os.path.join(d, f"warm{ai}"), backend,
                      group_size=gs)
         for r in range(rounds):
-            for arm in arms:
-                os.environ[var] = arm
+            for ai, arm in enumerate(arms):
+                set_arm(arm)
                 stats, dt = run_once(
-                    d, os.path.join(d, f"o{arm}_{r}"), backend,
+                    d, os.path.join(d, f"o{ai}_{r}"), backend,
                     group_size=gs)
                 rs = stats.total_reads / dt
                 times[arm].append(rs)
