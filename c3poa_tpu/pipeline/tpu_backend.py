@@ -222,14 +222,25 @@ def _align_trace_impl(Q, T, ql, tl, *, band, match, mismatch, gap_open,
     Returns (result, ops_packed)."""
     if _pallas_align_on():
         from ..kernels.pallas_banded import banded_align_trace_pallas_cached
-        # p_tile=64 measured best end-to-end AFTER the per-bucket row
-        # chunks shrank the VMEM out blocks (interleaved A/B: 298/340 vs
-        # 262/292 reads/s at p_tile=32; before that change the bigger
-        # footprint made 64 lose).  Buckets past 4096 rows keep 32: the
-        # kernel's int32 query/target copies scale with nq and p_tile=64
-        # measured 17.4 MB > the 16 MB scoped VMEM limit at 6144.
-        pt = int(os.environ.get("C3POA_ALIGN_PTILE",
-                                "64" if Q.shape[1] <= 4096 else "32"))
+        # Round-4 defaults: FAT tiles + fold + raised scoped-VMEM limit.
+        # The align forward is per-op-issue-bound, so more pairs per op
+        # dilutes the fixed cost: launch-level sweep (tools/align_sweep)
+        # measured pt256+fold+vmem128 at 1.40x over pt32 (2.12 G c/s),
+        # and interleaved end-to-end A/Bs (tools/pipe_ab) 1.088x over the
+        # round-3 default and 1.033x over pt128+fold+vmem64.  Buckets
+        # past 2048 rows step the tile down (compile time of fat tiles
+        # grows steeply with nq; pt384+ was pathological even at 2048).
+        nq_b = Q.shape[1]
+        pt_default = "256" if nq_b <= 2048 else (
+            "128" if nq_b <= 4096 else "64")
+        pt = int(os.environ.get("C3POA_ALIGN_PTILE", pt_default))
+        # small launches (ladder tails) must not pad up to a fat tile:
+        # a padded pair adds lane work per block, and 8x padding undoes
+        # the per-op dilution win
+        pcap = 8
+        while pcap < Q.shape[0]:
+            pcap *= 2
+        pt = min(pt, pcap)
         # C3POA_ALIGN_PIPE=2 interleaves two independent DP half-states
         # per tile (software pipelining of the row dependency chain);
         # C3POA_WALK_WIDE=1 runs the two-word-row walk cache (half the
@@ -239,18 +250,16 @@ def _align_trace_impl(Q, T, ql, tl, *, band, match, mismatch, gap_open,
         if pt % (8 * nh):
             nh = 1
         wide = os.environ.get("C3POA_WALK_WIDE", "0") == "1"
-        # C3POA_ALIGN_SB=1: super-block forward (64 unrolled rows per
-        # loop iteration, zero per-block conds/selects — attacks the
-        # measured ~8us fixed per-block cost; kernels/pallas_banded.py
-        # _kernel_sb).  C3POA_ALIGN_FOLD=1 (implies SB): one fused
-        # [H|E|buf] shift per row instead of three _sel_shifts (1/3 the
-        # shift op count).  Both off until the on-hardware A/B +
-        # byte-parity gate (tools/pipe_ab.py, tools/hwcheck.py) lands.
-        fold = os.environ.get("C3POA_ALIGN_FOLD", "0") == "1"
+        # C3POA_ALIGN_FOLD (default ON since round 4; implies the
+        # super-block body): one fused [H|E|buf] shift per row instead
+        # of three _sel_shifts — parity alone at thin tiles (r3: 1.04x),
+        # stacks with fat tiles (see pt_default above).
+        # C3POA_ALIGN_SB=1 alone: super-block without the fold.
+        fold = os.environ.get("C3POA_ALIGN_FOLD", "1") == "1"
         sb = fold or os.environ.get("C3POA_ALIGN_SB", "0") == "1"
         # C3POA_ALIGN_VMEM_MB raises Mosaic's 16 MB scoped-VMEM default
         # so fatter p_tiles compile (static arg -> distinct compilations)
-        vmem_mb = int(os.environ.get("C3POA_ALIGN_VMEM_MB", "0"))
+        vmem_mb = int(os.environ.get("C3POA_ALIGN_VMEM_MB", "128"))
         if fold and not vmem_mb:
             # the fused [H|E|buf] temps push p_tile=64 past the 16 MB
             # scoped-VMEM limit (measured 16.95M at nq=1536); 48 fits
