@@ -278,7 +278,7 @@ def _kernel(ql_ref, tl_ref, q_ref, t_ref, mvp_ref, score_ref, jend_ref,
 
 def _kernel_sb(ql_ref, tl_ref, q_ref, t_ref, mvp_ref, score_ref, jend_ref,
                H_s, E_s, buf_s, lo_s, *, match, mismatch, gap_open,
-               gap_ext, W, nq, nt, levels, P_TILE, RC8, NC, FOLD):
+               gap_ext, W, nq, nt, levels, P_TILE, RC8, NC, FOLD, EARLY):
     """Super-block variant of ``_kernel``: the fori_loop body is EIGHT
     8-row blocks (64 rows) unrolled, with every per-block conditional
     turned static:
@@ -374,12 +374,35 @@ def _kernel_sb(ql_ref, tl_ref, q_ref, t_ref, mvp_ref, score_ref, jend_ref,
         diag = jnp.where(jcol >= 1, Hd + sub, NEG)
         Ht = jnp.maximum(diag, En)
         A = Ht + e * karr
-        d = 1
-        for _ in range(levels):
-            sh = pltpu.roll(A, shift=d, axis=1)
-            sh = jnp.where(karr >= d, sh, NEG)
-            A = jnp.maximum(A, sh)
-            d *= 2
+        if EARLY:
+            # convergence early-exit on the F prefix-max: lane-crossing
+            # rolls cost ~74 ns EACH on this VPU (dependent chain,
+            # tools/mosaic_floor_probe.py) and the 7 doubling levels are
+            # the row chain's biggest block; a pass that changes nothing
+            # proves every later pass is a no-op (same argument as
+            # pallas_profile's early mode), and real F-gap runs at
+            # nanopore error rates converge in 2-3 levels.
+            # Bit-identical by construction.
+            def _cond(st):
+                d_, _A, changed = st
+                return jnp.logical_and(d_ < W, changed)
+
+            def _body(st):
+                d_, A_, _ = st
+                sh = pltpu.roll(A_, shift=d_, axis=1)
+                sh = jnp.where(karr >= d_, sh, NEG)
+                A2 = jnp.maximum(A_, sh)
+                return d_ * 2, A2, jnp.any(A2 != A_)
+
+            _, A, _ = jax.lax.while_loop(
+                _cond, _body, (jnp.int32(1), A, jnp.bool_(True)))
+        else:
+            d = 1
+            for _ in range(levels):
+                sh = pltpu.roll(A, shift=d, axis=1)
+                sh = jnp.where(karr >= d, sh, NEG)
+                A = jnp.maximum(A, sh)
+                d *= 2
         F = jnp.where(karr >= 1,
                       pltpu.roll(A, shift=1, axis=1) - oe - e * karr + e,
                       NEG)
@@ -442,14 +465,14 @@ def _kernel_sb(ql_ref, tl_ref, q_ref, t_ref, mvp_ref, score_ref, jend_ref,
 
 @functools.partial(jax.jit, static_argnames=(
     "band", "match", "mismatch", "gap_open", "gap_ext", "interpret",
-    "p_tile", "nh", "superblock", "fold", "vmem_mb"))
+    "p_tile", "nh", "superblock", "fold", "vmem_mb", "early"))
 def banded_fwd_pallas_packed(queries, targets, q_lens, t_lens,
                              band: int = 128, match: int = 5,
                              mismatch: int = -4, gap_open: int = 4,
                              gap_ext: int = 2, interpret: bool = False,
                              p_tile: int = P_TILE, nh: int = 1,
                              superblock: bool = False, fold: bool = False,
-                             vmem_mb: int = 0):
+                             vmem_mb: int = 0, early: bool = False):
     """Forward pass: returns (scores (P,), j_end (P,),
     packed moves (P, nq_pad/8, W) int32 — row i's move byte is nibble
     (i-1) % 8 of word (i-1)//8).
@@ -519,7 +542,8 @@ def banded_fwd_pallas_packed(queries, targets, q_lens, t_lens,
         # super-blocks are 64 rows; RCHUNK is a multiple of 64, so chunk
         # boundaries always align and the query window needs no
         # cross-chunk carry
-        kernel = functools.partial(_kernel_sb, FOLD=fold, **common)
+        kernel = functools.partial(_kernel_sb, FOLD=fold, EARLY=early,
+                                   **common)
         scratch += [pltpu.VMEM((P_TILE, 1), jnp.int32)]            # lo_prev
     else:
         kernel = functools.partial(_kernel, NH=nh, **common)
@@ -610,7 +634,7 @@ def banded_align_trace_pallas(queries, targets, q_lens, t_lens,
 @functools.partial(jax.jit, static_argnames=(
     "band", "match", "mismatch", "gap_open", "gap_ext", "interpret",
     "p_tile", "shrink", "nh", "wide_walk", "superblock", "fold",
-    "vmem_mb"))
+    "vmem_mb", "early"))
 def banded_align_trace_pallas_cached(queries, targets, q_lens, t_lens,
                                      band: int = 128, match: int = 5,
                                      mismatch: int = -4, gap_open: int = 4,
@@ -621,7 +645,8 @@ def banded_align_trace_pallas_cached(queries, targets, q_lens, t_lens,
                                      wide_walk: bool = False,
                                      superblock: bool = False,
                                      fold: bool = False,
-                                     vmem_mb: int = 0):
+                                     vmem_mb: int = 0,
+                                     early: bool = False):
     """Pallas forward + the word-cached walk (kernels.banded
     walk_ops_cached).  Returns (scores, j_end, j_start, i_rem,
     packed_ops, edge) — ops are 2-bit packed with gaps; consume with
@@ -632,7 +657,7 @@ def banded_align_trace_pallas_cached(queries, targets, q_lens, t_lens,
         queries, targets, q_lens, t_lens, band=band, match=match,
         mismatch=mismatch, gap_open=gap_open, gap_ext=gap_ext,
         interpret=interpret, p_tile=p_tile, nh=nh, superblock=superblock,
-        fold=fold, vmem_mb=vmem_mb)
+        fold=fold, vmem_mb=vmem_mb, early=early)
     # wide halves the serial gather chain per substep, but hits/gather
     # cap below 2x (column drift + word-row crossings over 16 substeps):
     # shrink+2 keeps every pair completing at nanopore error rates

@@ -264,11 +264,16 @@ def _align_trace_impl(Q, T, ql, tl, *, band, match, mismatch, gap_open,
             # the fused [H|E|buf] temps push p_tile=64 past the 16 MB
             # scoped-VMEM limit (measured 16.95M at nq=1536); 48 fits
             pt = min(pt, 48)
+        # C3POA_ALIGN_EARLY=1: convergence early-exit on the F
+        # prefix-max (bit-identical; lane rolls are ~74 ns each and the
+        # 7 doubling levels dominate the row chain — see
+        # tools/mosaic_floor_probe.py).  Off until the end-to-end A/B.
+        early = os.environ.get("C3POA_ALIGN_EARLY", "0") == "1"
         return banded_align_trace_pallas_cached(
             Q, T, ql, tl, band=band, match=match, mismatch=mismatch,
             gap_open=gap_open, gap_ext=gap_ext, p_tile=pt, nh=nh,
             wide_walk=wide, superblock=sb, fold=fold,
-            vmem_mb=vmem_mb), True
+            vmem_mb=vmem_mb, early=early and sb), True
     return banded_align_trace_batch(
         Q, T, ql, tl, band=band, match=match, mismatch=mismatch,
         gap_open=gap_open, gap_ext=gap_ext), False

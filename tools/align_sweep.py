@@ -21,20 +21,25 @@ sys.path.insert(0, ".")
 
 
 def parse_cfg(s):
+    """pt<P_TILE>[s|f][e][v<VMEM_MB>]: s=superblock, f=fold(+sb),
+    e=early prefix-max exit."""
     assert s.startswith("pt")
     rest = s[2:]
     vmem = 0
     if "v" in rest:
         rest, v = rest.split("v", 1)
         vmem = int(v)
-    sb = fold = False
-    if rest.endswith("f"):
-        fold = sb = True
-        rest = rest[:-1]
-    elif rest.endswith("s"):
-        sb = True
-        rest = rest[:-1]
-    return dict(p_tile=int(rest), superblock=sb, fold=fold, vmem_mb=vmem)
+    sb = fold = early = False
+    while rest and rest[-1] in "sfe":
+        c, rest = rest[-1], rest[:-1]
+        if c == "s":
+            sb = True
+        elif c == "f":
+            fold = sb = True
+        else:
+            early = True
+    return dict(p_tile=int(rest), superblock=sb, fold=fold, vmem_mb=vmem,
+                early=early)
 
 
 def main():
@@ -60,8 +65,17 @@ def main():
                      .astype(np.int32))[::-1].copy()
         return q, q.copy(), ql, ql.copy()
 
+    from c3poa_tpu.kernels.pallas_banded_t import banded_fwd_pallas_t
+
     fns = {}
     for c in cfgs:
+        if c in ("t", "te"):
+            # the transposed (band-on-sublanes) forward
+            kw = dict(early=(c == "te"))
+            fns[c] = jax.jit(lambda q, t, ql, tl, kw=kw: (
+                lambda s, j, mv: (s, j, jnp.max(mv)))(
+                *banded_fwd_pallas_t(q, t, ql, tl, band=W, **kw)))
+            continue
         kw = parse_cfg(c)
         fns[c] = jax.jit(lambda q, t, ql, tl, kw=kw: (
             lambda s, j, mv: (s, j, jnp.max(mv)))(
