@@ -47,7 +47,11 @@ REFILL_ROWS = 32     # rows between stage refills; SMAX * 32 = 96 < STAGE_T
 def _kernel_t(ql_ref, tl_ref, qt_ref, stg_ref, mvp_ref, score_ref,
               jend_ref, H_s, E_s, buf_s, lo_s, *, match, mismatch,
               gap_open, gap_ext, W, nq, nt, levels, RC8, NC, NRF,
-              NHEAD, EARLY):
+              NHEAD, EARLY, STRIP=()):
+    # STRIP: perf-bisect switches (break bit-parity; tools use only):
+    # "selshift" (pretend s=0), "prefix" (skip F closure), "store"
+    # (write only block 0's plane), "qload" (constant q), "refill"
+    # (never restock)
     oe = gap_open + gap_ext
     e = gap_ext
     PL = ql_ref.shape[1]
@@ -107,11 +111,14 @@ def _kernel_t(ql_ref, tl_ref, qt_ref, stg_ref, mvp_ref, score_ref,
         H, E, buf, lo_prev = st
         lo_i = lo_of(i)
         s = lo_i - lo_prev                                   # (1, PL)
-        Hp = sel_shift_sub(H, s, 0, NEG)
-        Ep = sel_shift_sub(E, s, 0, NEG)
-        Hd = sel_shift_sub(H, s, -1, NEG)
-        buf = sel_shift_sub(buf, s, 0, 4)
-        if first_row:
+        if "selshift" in STRIP:
+            Hp, Ep, Hd = H, E, pltpu.roll(H, shift=1, axis=0)
+        else:
+            Hp = sel_shift_sub(H, s, 0, NEG)
+            Ep = sel_shift_sub(E, s, 0, NEG)
+            Hd = sel_shift_sub(H, s, -1, NEG)
+            buf = sel_shift_sub(buf, s, 0, 4)
+        if first_row and "refill" not in STRIP:
             # refill cadence: every REFILL_ROWS // 8 blocks (traced b)
             rfi = b // (REFILL_ROWS // 8)
             buf = jax.lax.cond(b % (REFILL_ROWS // 8) == 0,
@@ -127,7 +134,9 @@ def _kernel_t(ql_ref, tl_ref, qt_ref, stg_ref, mvp_ref, score_ref,
         diag = jnp.where(jcol >= 1, Hd + sub, NEG)
         Ht = jnp.maximum(diag, En)
         A = Ht + e * karr
-        if EARLY:
+        if "prefix" in STRIP:
+            pass
+        elif EARLY:
             def _cond(stt):
                 d_, _A, changed = stt
                 return jnp.logical_and(d_ < W, changed)
@@ -178,12 +187,22 @@ def _kernel_t(ql_ref, tl_ref, qt_ref, stg_ref, mvp_ref, score_ref,
         i0 = 8 * b + 1
         st = carry
         pack = None
+        # one 8-aligned (8, PL) load covers the block's query chars
+        # (Mosaic requires dynamic sublane offsets provably % 8 == 0;
+        # rows i0-1 .. i0+6 = 8b .. 8b+7 are exactly one aligned block)
+        if "qload" in STRIP:
+            qblk = jnp.zeros((8, PL), dtype=jnp.int32)
+        else:
+            qblk = qt_ref[pl.ds(pl.multiple_of(8 * b, 8), 8)]
         for u in range(8):
             i = i0 + u
-            qc = qt_ref[pl.ds(i - 1, 1)].astype(jnp.int32)   # (1, PL)
+            qc = qblk[u:u + 1]                               # (1, PL)
             st, mv = row_step(i, b, qc, st, first_row=(u == 0))
             pack = mv if u == 0 else pack | (mv << (4 * u))
-        mvp_ref[0, b - ci * RC8] = pack
+        if "store" in STRIP:
+            mvp_ref[0, 0] = pack
+        else:
+            mvp_ref[0, b - ci * RC8] = pack
         return st
 
     nb = jnp.minimum((jnp.max(ql) + 7) // 8, nq // 8)
@@ -204,12 +223,13 @@ def _kernel_t(ql_ref, tl_ref, qt_ref, stg_ref, mvp_ref, score_ref,
 
 @functools.partial(jax.jit, static_argnames=(
     "band", "match", "mismatch", "gap_open", "gap_ext", "interpret",
-    "early", "vmem_mb"))
+    "early", "vmem_mb", "strip"))
 def banded_fwd_pallas_t(queries, targets, q_lens, t_lens,
                         band: int = 128, match: int = 5,
                         mismatch: int = -4, gap_open: int = 4,
                         gap_ext: int = 2, interpret: bool = False,
-                        early: bool = False, vmem_mb: int = 128):
+                        early: bool = False, vmem_mb: int = 128,
+                        strip: tuple = ()):
     """Transposed forward: returns (scores (P,), j_end (P,),
     packed moves (P_pad//PL, nq_pad/8, W, PL) int32 — see
     walk_ops_cached_t for the layout contract).
@@ -259,8 +279,9 @@ def banded_fwd_pallas_t(queries, targets, q_lens, t_lens,
     nq8 = nq // 8
 
     # ---- device-side suppliers (one batched op each) ----
-    # transposed queries: row i holds q[i] for every pair
-    qt = queries.T                                   # (nq, P) int8
+    # transposed queries: row i holds q[i] for every pair.  int32 so the
+    # kernel's 8-row dynamic-sublane loads sit on (8, 128) tiles
+    qt = queries.T.astype(jnp.int32)                 # (nq, P)
 
     # stage refill planes: NRF per-32-rows refills + ONE head plane
     # (the init window t[0 : W + STAGE_T - 1]) appended as plane NRF
@@ -276,15 +297,17 @@ def banded_fwd_pallas_t(queries, targets, q_lens, t_lens,
                             posc.transpose(1, 0, 2).reshape(1, P, -1),
                             axis=2)
     g = g.reshape(P, NRF, STAGE_T).transpose(1, 2, 0)         # (NRF,ST,P)
+    # int32 planes: the (STAGE_T, PL) slices then sit on (8, 128) tiles
+    # (int8 would need 32-sublane tiling, which 136 rows are not)
     stages = jnp.where(
         (pos < 0).transpose(0, 2, 1) | (pos >= nt).transpose(0, 2, 1),
-        jnp.int8(4), g.astype(jnp.int8))
+        4, g.astype(jnp.int32))
     # the init head window t[0 : W+STAGE_T-1] ships as extra planes
     HEAD_ROWS = W + STAGE_T - 1
     n_head = -(-HEAD_ROWS // STAGE_T)
     head_flat = jnp.pad(targets[:, :HEAD_ROWS].T,
                         ((0, n_head * STAGE_T - HEAD_ROWS), (0, 0)),
-                        constant_values=4)
+                        constant_values=4).astype(jnp.int32)
     head_planes = head_flat.reshape(n_head, STAGE_T, P)
     stages = jnp.concatenate([stages, head_planes], axis=0)
 
@@ -295,7 +318,7 @@ def banded_fwd_pallas_t(queries, targets, q_lens, t_lens,
     kernel = functools.partial(
         _kernel_t, match=match, mismatch=mismatch, gap_open=gap_open,
         gap_ext=gap_ext, W=W, nq=nq, nt=nt, levels=levels, RC8=RC8,
-        NC=NC, NRF=NRF, NHEAD=n_head, EARLY=early)
+        NC=NC, NRF=NRF, NHEAD=n_head, EARLY=early, STRIP=strip)
     scratch = [
         pltpu.VMEM((W, P_LANES), jnp.int32),             # H
         pltpu.VMEM((W, P_LANES), jnp.int32),             # E
