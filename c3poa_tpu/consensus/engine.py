@@ -219,15 +219,13 @@ def consensus_many(jobs: Sequence[ConsensusJob],
     return consensus_finalize(state)
 
 
-def consensus_prepare(jobs: Sequence[ConsensusJob],
-                      p: ConsensusParams | None = None,
-                      align_many: AlignMany | None = None) -> dict:
-    """Device-facing half of ``consensus_many``: pair building + the
-    round-1 batched alignment.  The returned state is finished by
-    ``consensus_finalize`` (host votes) — the split lets the pipelined
-    runner overlap group g+1's device alignment with group g's votes."""
+def consensus_build_pairs(jobs: Sequence[ConsensusJob],
+                          p: ConsensusParams | None = None) -> dict:
+    """Host-only half of pair preparation: medoid drafts, dangling
+    windowing, the (query, qual, target, band) pair list.  No device
+    work — the pipelined runner calls this on its LOCATE thread so the
+    align thread holds only device launches + record builds."""
     p = p or ConsensusParams()
-    align_many = align_many or serial_align_many
 
     n = len(jobs)
     cons: list = [None] * n
@@ -271,16 +269,38 @@ def consensus_prepare(jobs: Sequence[ConsensusJob],
             meta.append((ji, offset, len(draft)))
         cons[ji] = ("draft", di)  # placeholder until vote
     _t_pairs.__exit__(None, None, None)
-    alns = align_many(pairs, p)
+    return {"jobs": jobs, "p": p, "n": n, "cons": cons, "cons_q": cons_q,
+            "pairs": pairs, "meta": meta}
+
+
+def consensus_align(state0: dict, align_many: AlignMany | None = None
+                    ) -> dict:
+    """Device half: the round-1 batched alignment over the pair list
+    from ``consensus_build_pairs``; finished by ``consensus_finalize``."""
+    align_many = align_many or serial_align_many
+    from ..utils import prof
+    alns = align_many(state0["pairs"], state0["p"])
     by_owner: dict[int, list] = {}
     with prof.current.stage("embed"):
-        for a, (ji, offset, full_nt) in zip(alns, meta):
+        for a, (ji, offset, full_nt) in zip(alns, state0["meta"]):
             if offset != 0 or len(a.rec.cover) != full_nt:
                 a = SubreadAln(banded.embed_record(a.rec, offset, full_nt),
                                a.query, a.qual)
             by_owner.setdefault(ji, []).append(a)
-    return {"jobs": jobs, "p": p, "align_many": align_many, "n": n,
-            "cons": cons, "cons_q": cons_q, "by_owner": by_owner}
+    return {"jobs": state0["jobs"], "p": state0["p"],
+            "align_many": align_many, "n": state0["n"],
+            "cons": state0["cons"], "cons_q": state0["cons_q"],
+            "by_owner": by_owner}
+
+
+def consensus_prepare(jobs: Sequence[ConsensusJob],
+                      p: ConsensusParams | None = None,
+                      align_many: AlignMany | None = None) -> dict:
+    """Device-facing half of ``consensus_many``: pair building + the
+    round-1 batched alignment.  The returned state is finished by
+    ``consensus_finalize`` (host votes) — the split lets the pipelined
+    runner overlap group g+1's device alignment with group g's votes."""
+    return consensus_align(consensus_build_pairs(jobs, p), align_many)
 
 
 def consensus_finalize(state: dict) -> list:

@@ -37,8 +37,8 @@ from typing import Iterator
 import numpy as np
 
 from ..consensus.engine import (
-    ConsensusJob, ConsensusParams, consensus_finalize, consensus_prepare,
-    zero_finalize, zero_params, zero_prepare,
+    ConsensusJob, ConsensusParams, consensus_align, consensus_build_pairs,
+    consensus_finalize, zero_finalize, zero_params, zero_prepare,
 )
 from ..io.fastx import read_fastx
 from ..utils import prof
@@ -412,17 +412,33 @@ def run_pipeline(reads_path: str, splint_path: str, out_path: str,
                 if gi <= skip_groups or not mine(gi):
                     continue
                 owned += 1
-                fut_loc = loc_executor.submit(_locate_group, group, combos,
-                                              cfg, backend)
+                # locate thread carries ALL host prep (locate + segment +
+                # pair building + zero overlap find); the align thread
+                # holds only device launches + record builds.
+                # C3POA_DEEP_SPLIT=0 restores the round-3 placement
+                # (host prep on the align thread) for interleaved A/Bs.
+                split = os.environ.get("C3POA_DEEP_SPLIT", "1") == "1"
+                if split:
+                    fut_host = loc_executor.submit(
+                        _host_prepare_group, group, combos, cfg, backend)
+                else:
+                    fut_host = loc_executor.submit(
+                        _locate_group, group, combos, cfg, backend)
                 if len(prepped) == 2:
                     # finalize the oldest group BEFORE queueing the next
                     # prep: frees its record arena slot
                     pgi, pfut = prepped.popleft()
                     finish_prep(pgi, pfut.result())
-                fut = executor.submit(
-                    lambda g=group, s=owned % 2, fl=fut_loc:
-                        _prepare_group(g, combos, cfg, backend,
-                                       fl.result(), s))
+                if split:
+                    fut = executor.submit(
+                        lambda s=owned % 2, fh=fut_host:
+                            _device_prepare_group(fh.result(), cfg,
+                                                  backend, s))
+                else:
+                    fut = executor.submit(
+                        lambda g=group, s=owned % 2, fl=fut_host:
+                            _prepare_group(g, combos, cfg, backend,
+                                           fl.result(), s))
                 prepped.append((gi, fut))
             while prepped:
                 pgi, pfut = prepped.popleft()
@@ -530,16 +546,13 @@ def _locate_group(group, combos, cfg: PipelineConfig, backend):
     return enc, quals, located
 
 
-def _prepare_group(group, combos, cfg: PipelineConfig, backend,
-                   prelocated=None, arena_slot: int = 0) -> dict:
-    """Device-facing half of group processing: locate + segmentation +
-    the batched round-1 alignment (consensus_prepare).  Runs on the
-    pipeline's worker thread so group g+1's device work overlaps group
-    g's host votes/writes; ``arena_slot`` double-buffers the native
-    record arenas across the two in-flight groups."""
-    from .. import native
-    arena_lease = native.claim_arena_slot(arena_slot)
-    native.set_arena_slot(arena_slot)
+def _host_prepare_group(group, combos, cfg: PipelineConfig, backend,
+                        prelocated=None) -> dict:
+    """Host-only preparation: locate + segmentation + consensus pair
+    building + zero-repeat overlap finding.  In the deep pipeline this
+    runs on the LOCATE thread so the align thread carries only device
+    launches + GIL-released record builds (the measured align-thread
+    chain was the critical path, BENCHMARKS.md stage profile)."""
     if prelocated is None:
         prelocated = _locate_group(group, combos, cfg, backend)
     enc, quals, located = prelocated
@@ -580,17 +593,16 @@ def _prepare_group(group, combos, cfg: PipelineConfig, backend,
     _t_seg.__exit__(None, None, None)
 
     with prof.current.stage("consensus"):
-        state = consensus_prepare(jobs, cfg.cons, backend.align_many)
+        state0 = consensus_build_pairs(jobs, cfg.cons)
 
-    # zero-repeat splices: overlap-find on this (prepare) thread, and the
-    # common-band overlap alignments batched through the SAME device
-    # align path as the core pairs (one extra launch per group, its own
-    # arena phase) — the reference treats the splice as first-class
-    # (--zero default-on, bin/determine_consensus.py:106-136), so on
-    # splice-heavy data it must not run as an unbatched serial host
-    # stage inside finalize (VERDICT r3 item 5)
+    # zero-repeat splices: overlap-find here; the common-band overlap
+    # pairs are device-aligned in _device_prepare_group (one extra
+    # launch per group, its own arena phase) — the reference treats the
+    # splice as first-class (--zero default-on,
+    # bin/determine_consensus.py:106-136), so on splice-heavy data it
+    # must not run as an unbatched serial host stage inside finalize
+    # (VERDICT r3 item 5)
     z_states: list = []
-    z_alns: list = []
     if zero_jobs:
         with prof.current.stage("zero_prep"):
             for ri, _splint, bounds in zero_jobs:
@@ -599,20 +611,47 @@ def _prepare_group(group, combos, cfg: PipelineConfig, backend,
                 z_states.append(zero_prepare(
                     codes[a0:b0], qual[a0:b0], codes[a1:b1], qual[a1:b1],
                     cfg.cons))
-        z_alns = [None] * len(z_states)
-        dev = [zi for zi, st in enumerate(z_states)
-               if st is not None and st["band"] == cfg.cons.band]
-        if dev:
-            zp = zero_params(cfg.cons, cfg.cons.band)
-            alns = backend.align_many(
-                [z_states[zi]["pair"] for zi in dev], zp, phase_base=16)
-            for zi, a in zip(dev, alns):
-                z_alns[zi] = a
     return {"group": group, "enc": enc, "quals": quals, "jobs": jobs,
             "job_meta": job_meta, "zero_jobs": zero_jobs,
-            "z_states": z_states, "z_alns": z_alns,
-            "no_splint": no_splint, "state": state,
-            "arena_slot": arena_slot, "arena_lease": arena_lease}
+            "z_states": z_states, "no_splint": no_splint,
+            "state0": state0}
+
+
+def _device_prepare_group(hprep: dict, cfg: PipelineConfig, backend,
+                          arena_slot: int = 0) -> dict:
+    """Device half: claim the record-arena generation, run the batched
+    round-1 alignment and the zero-overlap batch.  Runs on the
+    pipeline's align thread so group g+1's device work overlaps group
+    g's host votes/writes; ``arena_slot`` double-buffers the native
+    record arenas across the two in-flight groups."""
+    from .. import native
+    arena_lease = native.claim_arena_slot(arena_slot)
+    native.set_arena_slot(arena_slot)
+    with prof.current.stage("consensus"):
+        state = consensus_align(hprep["state0"], backend.align_many)
+
+    z_states = hprep["z_states"]
+    z_alns = [None] * len(z_states)
+    dev = [zi for zi, st in enumerate(z_states)
+           if st is not None and st["band"] == cfg.cons.band]
+    if dev:
+        zp = zero_params(cfg.cons, cfg.cons.band)
+        alns = backend.align_many(
+            [z_states[zi]["pair"] for zi in dev], zp, phase_base=16)
+        for zi, a in zip(dev, alns):
+            z_alns[zi] = a
+    prep = dict(hprep)
+    prep.pop("state0")
+    prep.update(state=state, z_alns=z_alns,
+                arena_slot=arena_slot, arena_lease=arena_lease)
+    return prep
+
+
+def _prepare_group(group, combos, cfg: PipelineConfig, backend,
+                   prelocated=None, arena_slot: int = 0) -> dict:
+    """Single-call preparation (host + device halves)."""
+    hprep = _host_prepare_group(group, combos, cfg, backend, prelocated)
+    return _device_prepare_group(hprep, cfg, backend, arena_slot)
 
 
 def _process_group(group, combos, cfg: PipelineConfig, backend, writers,
