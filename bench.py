@@ -132,7 +132,11 @@ def wait_for_accelerator() -> dict:
     from a real regression (round-3 lesson: BENCH_r03 recorded a
     sick-relay 288 r/s with nothing in the artifact saying so)."""
     import subprocess
-    deadline = time.time() + float(os.environ.get("BENCH_RELAY_WAIT", "900"))
+    # observed relay outages run 3-15+ minutes (round-4 log); waiting up
+    # to an hour beats recording a dead-relay failure as the round's
+    # official number
+    deadline = time.time() + float(os.environ.get("BENCH_RELAY_WAIT",
+                                                  "3600"))
     probe = ("import jax; d = jax.devices(); "
              "jax.numpy.ones(8).sum().item(); "
              "print('PLATFORM=' + d[0].platform)")
