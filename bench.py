@@ -51,6 +51,71 @@ def run_once(path, out, backend, group_size=1000, num_threads=1):
     return stats, dt
 
 
+def fitting_edit_distance(query: np.ndarray, target: np.ndarray) -> int:
+    """Edit distance of ``query`` against its best-matching substring of
+    ``target`` (ends free on the target — infix alignment).  Row-wise
+    numpy DP; the in-row horizontal dependency is resolved exactly with a
+    prefix-min scan (unit costs: min_k (tmp[k] + (j-k)) =
+    cummin(tmp[k]-k) + j)."""
+    m, n = len(query), len(target)
+    if m == 0:
+        return 0
+    if n == 0:
+        return m
+    j = np.arange(n + 1, dtype=np.int32)
+    row = np.zeros(n + 1, dtype=np.int32)       # D[0][j] = 0 (free start)
+    for i in range(m):
+        sub = (target != query[i]).astype(np.int32)
+        tmp = np.empty(n + 1, dtype=np.int32)
+        tmp[0] = row[0] + 1                     # vertical only at j=0
+        np.minimum(row[:-1] + sub, row[1:] + 1, out=tmp[1:])  # diag, vert
+        row = np.minimum.accumulate(tmp - j) + j              # horizontal
+    return int(row.min())
+
+
+def measure_qv(out_dir: str, reads, max_reads: int = 192) -> dict:
+    """Consensus accuracy vs the simulator's ground truth, reported next
+    to reads/s so a kernel change cannot silently trade accuracy for
+    throughput (VERDICT r4 item 3).
+
+    Each consensus is [splint 2nd half][insert][splint 1st half] on the
+    read's strand; the truth INSERT is fit into it with an ends-free
+    (infix) edit distance, min over strands, so splint flanks and the
+    +-few-base peak-position jitter at the cut points do not count as
+    consensus errors.  QV = -10*log10(total_edits / total_insert_bases).
+    """
+    import glob
+    import math
+    from c3poa_tpu.utils.seqs import encode, revcomp
+
+    truth = {r.name: r.insert for r in reads}
+    errs = bases = n_scored = 0
+    for path in sorted(glob.glob(os.path.join(
+            out_dir, "*", "R2C2_Consensus.fasta"))):
+        with open(path) as fh:
+            name = None
+            for line in fh:
+                if line.startswith(">"):
+                    name = line[1:].rsplit("_", 4)[0]
+                elif name is not None:
+                    if n_scored >= max_reads:
+                        break
+                    ins = truth.get(name)
+                    if ins is None:
+                        continue
+                    cons = encode(line.strip())
+                    d = min(fitting_edit_distance(encode(ins), cons),
+                            fitting_edit_distance(encode(revcomp(ins)),
+                                                  cons))
+                    errs += d
+                    bases += len(ins)
+                    n_scored += 1
+                    name = None
+    qv = 99.0 if errs == 0 else -10.0 * math.log10(errs / max(bases, 1))
+    return {"qv": round(qv, 2), "qv_errors": errs, "qv_bases": bases,
+            "qv_reads": n_scored}
+
+
 BASELINE_CACHE = os.path.expanduser("~/.cache/c3poa_bench_baseline.json")
 BASELINE_VERSION = 3  # v3: C-grade aligner (native/align.c) in the CPU path
 
@@ -191,12 +256,38 @@ def main():
         # warmup: run the exact benchmark dataset once first — chunk batch
         # sizes depend on group population, so only the identical run
         # guarantees every compiled shape is warm (remote compiles are
-        # minutes the first time, seconds after)
-        make_dataset(d, n_reads)
+        # minutes the first time, seconds after).  Cache telemetry: the
+        # persistent jax compile cache's file count before/after plus the
+        # per-stage compiled-shape counters, so a reader can tell local
+        # cache misses (files grew) from relay-side compile cost (files
+        # unchanged but warmup still slow) — VERDICT r4 item 6.
+        sim_reads = make_dataset(d, n_reads)
         gs = min(512, max(1, n_reads // 2))
+        jax_cache = os.environ.get(
+            "C3POA_JAX_CACHE", os.path.expanduser("~/.cache/c3poa_jax"))
+
+        def cache_files():
+            try:
+                return len(os.listdir(jax_cache))
+            except OSError:
+                return -1
+
+        cache_before = cache_files()
         t_w0 = time.time()
         run_once(d, os.path.join(d, "warm"), backend, group_size=gs)
         warmup_s = time.time() - t_w0
+        warm_shapes = {}
+        try:
+            wst = json.load(open(os.path.join(d, "warm",
+                                              "c3poa_stats.json")))
+            warm_shapes = {k: v for k, v in wst.get("counters", {}).items()
+                           if k.endswith("compiled_shapes")}
+        except (OSError, ValueError):
+            pass
+        warmup_info = {"s": round(warmup_s, 1),
+                       "cache_files_before": cache_before,
+                       "cache_files_after": cache_files(),
+                       "compiled_shapes": warm_shapes}
 
         # measured passes (fresh output dirs, identical input).  The
         # relayed runtime has 20-30% run-to-run variance on identical
@@ -230,19 +321,26 @@ def main():
 
         reads_s, best_out, stats = max(passes, key=lambda p: p[0])
         median_rs = sorted(rates)[len(rates) // 2]
+        qv_info = measure_qv(best_out, sim_reads)
 
         baseline_32t = base["baseline_32t"]
+        # the MEDIAN pass is the headline (VERDICT r4 item 4): the relayed
+        # runtime's best pass flatters by up to ~10%; best is auxiliary
         result = {
             "metric": f"consensus_reads_per_sec_1chip_{name}",
-            "value": round(reads_s, 3),
+            "value": round(median_rs, 3),
             "unit": "reads/s",
-            "vs_baseline": round(reads_s / baseline_32t, 3),
+            "vs_baseline": round(median_rs / baseline_32t, 3),
             # context: a reader can tell a sick-relay artifact (high
             # probe_retries / wide pass spread) from a real regression
             "passes": [round(r, 1) for r in rates],
+            "best": round(reads_s, 3),
+            "best_vs_baseline": round(reads_s / baseline_32t, 3),
             "median": round(median_rs, 3),
             "median_vs_baseline": round(median_rs / baseline_32t, 3),
+            **qv_info,
             "warmup_s": round(warmup_s, 1),
+            "warmup": warmup_info,
             "relay": relay,
             "reads": n_reads,
         }

@@ -127,10 +127,13 @@ def locate_device(reads: jax.Array, lens: jax.Array, splints: jax.Array,
 
     Returns (combo (B,) int32, best_score (B,) int32,
              cand_pos (B, L/tile) int32, cand_h (B, L/tile) f32,
-             med (B,) f32, deep (B,) bool).
+             med (B,) f32, deep (B,) bool, margin (B,) bool).
 
     ``deep`` marks reads needing the exact host peak rerun (a tile held
-    more than the 2 candidates the compaction keeps — kernels/peaks.py).
+    more than the 2 candidates the compaction keeps — kernels/peaks.py);
+    ``margin`` marks reads whose f32 threshold comparisons sit within
+    MARGIN_REL of the 3x/6x-median gates (same exact rerun, separate
+    counter).
 
     Non-jitted wrapper: resolves the profile-kernel env configuration at
     host level on EVERY call and passes it to the jitted body as a static
@@ -156,9 +159,9 @@ def _locate_device_jit(reads: jax.Array, lens: jax.Array,
     chosen = jnp.take_along_axis(
         prof, combo[:, None, None], axis=1)[:, 0, :]    # (B, L)
     sm = smooth3_batch(chosen.astype(jnp.float32), lens)
-    cand_pos, cand_h, med, _height, _gated, deep = peak_candidates_batch(
-        sm, lens, tile=tile)
-    return combo, best_score, cand_pos, cand_h, med, deep
+    cand_pos, cand_h, med, _height, _gated, deep, margin = \
+        peak_candidates_batch(sm, lens, tile=tile)
+    return combo, best_score, cand_pos, cand_h, med, deep, margin
 
 
 def locate_batch(reads, lens, splints, min_dist, max_peaks: int = 128):
@@ -167,18 +170,25 @@ def locate_batch(reads, lens, splints, min_dist, max_peaks: int = 128):
     / L-padded, n_peaks (B,) int32)."""
     B, L = np.shape(reads)
     tile = tile_for_distance(int(min_dist))
-    combo, best_score, cand_pos, cand_h, _med, deep = locate_device(
+    combo, best_score, cand_pos, cand_h, _med, deep, marg = locate_device(
         jnp.asarray(reads), jnp.asarray(lens), jnp.asarray(splints),
         tile=tile)
-    peaks = select_peaks_host(np.asarray(cand_pos), np.asarray(cand_h),
-                              int(min_dist))
-    # deep-flagged reads: the shared exact host rerun (rare by
+    cand_pos, cand_h = np.asarray(cand_pos), np.asarray(cand_h)
+    peaks = select_peaks_host(cand_pos, cand_h, int(min_dist))
+    # deep/margin-flagged reads: the shared exact host rerun (rare by
     # construction; counted so a rate spike is never silent)
+    from .peaks import margin_competitors_host
     deep = np.asarray(deep)
-    if deep.any():
+    marg = np.asarray(marg) | margin_competitors_host(cand_pos, cand_h)
+    if deep.any() or marg.any():
         from ..ref.peaks import exact_peaks_rerun
         from ..utils import prof as _prof
-        _prof.current.count("peaks_deep_host_rerun", int(deep.sum()))
+        if deep.any():
+            _prof.current.count("peaks_deep_host_rerun", int(deep.sum()))
+        if (marg & ~deep).any():
+            _prof.current.count("peaks_margin_host_rerun",
+                                int((marg & ~deep).sum()))
+        deep = deep | marg
         combo_np = np.asarray(combo)
         splints_np = np.asarray(splints)
         for b in np.flatnonzero(deep):

@@ -28,6 +28,15 @@ import numpy as np
 
 NEG_F = jnp.float32(-3.0e38)
 
+# Relative margin for the f32-vs-f64 threshold guard: the device smooths
+# in float32 while the exact spec (ref/sg.py + ref/peaks.py) runs float64;
+# measured divergence is ~1e-5 relative (PARITY.md), so any comparison
+# against the 3x/6x-median gates that lands within 1e-4 relative of the
+# threshold (10x safety) is routed to the exact host rerun instead of
+# being decided in f32.  Reads outside the margin cannot flip between
+# backends; reads inside it are recomputed end-to-end in f64.
+MARGIN_REL = 1e-4
+
 
 def _pow2_at_most(n: int, lo: int = 1) -> int:
     b = lo
@@ -98,6 +107,12 @@ def peak_candidates_batch(smoothed: jax.Array, lens: jax.Array,
     through the exact host path (ref/peaks.py) — see
     TpuBackend.locate_many / call_peaks_batch; this removes the former
     silent residual at ANY chain depth (PARITY.md §9).
+
+    ``deep`` ALSO flags reads whose f32 threshold comparisons land within
+    MARGIN_REL (relative) of the 3x-median height or 6x-median noise gate
+    (bin/call_peaks.py:13-15): those decisions could differ from the f64
+    spec path, so they too take the exact host rerun.  Separately counted
+    (peaks_margin_host_rerun) via the ``margin`` output.
     """
     B, L = smoothed.shape
     assert L % tile == 0
@@ -111,6 +126,12 @@ def peak_candidates_batch(smoothed: jax.Array, lens: jax.Array,
     xmax = jnp.max(xm, axis=1)
     gated = xmax < 6.0 * med
     height = 3.0 * med
+    # f32 margin guard, gate half: the 6x-median noise-gate comparison
+    # sits within MARGIN_REL of flipping (xmax > 0 excludes all-zero
+    # profiles, where both backends are exactly 0.0)
+    near_gate = (xmax > 0) & (
+        jnp.abs(xmax - 6.0 * med)
+        <= MARGIN_REL * jnp.maximum(jnp.abs(xmax), jnp.abs(6.0 * med)))
 
     # local maxima: equal-value run [l, r] with strict rise into l and
     # strict drop after r (scipy plateau semantics)
@@ -134,6 +155,12 @@ def peak_candidates_batch(smoothed: jax.Array, lens: jax.Array,
     is_peak = rise_at_l & (l_run >= 1) & drop_next & \
         (jidx <= lens[:, None] - 2)
     ok = is_peak & (xm >= height[:, None]) & ~gated[:, None]
+    # f32 margin guard, height half: some local maximum's 3x-median
+    # height acceptance sits within MARGIN_REL of flipping
+    near_h = is_peak & (xm > 0) & (
+        jnp.abs(xm - height[:, None])
+        <= MARGIN_REL * jnp.maximum(jnp.abs(xm), jnp.abs(height)[:, None]))
+    margin = near_gate | jnp.any(near_h, axis=1)
     h = jnp.where(ok, xm, NEG_F)
     midpoint = (l_run + jidx) // 2
 
@@ -163,7 +190,23 @@ def peak_candidates_batch(smoothed: jax.Array, lens: jax.Array,
 
     cand_pos = jnp.concatenate([p1, p2], axis=1)
     cand_h = jnp.concatenate([h1, h2], axis=1)
-    return cand_pos, cand_h, med, height, gated, deep
+    return cand_pos, cand_h, med, height, gated, deep, margin
+
+
+def margin_competitors_host(cand_pos: np.ndarray,
+                            cand_h: np.ndarray) -> np.ndarray:
+    """Reads with two surviving candidates within MARGIN_REL of each
+    other in height (f32): the distance selection's by-height priority
+    order could differ from the f64 spec path for them, so they join the
+    exact host rerun (same peaks_margin_host_rerun counter).  Tiny host
+    work on the compacted (B, 2M) candidate block."""
+    h = np.where(cand_pos >= 0, cand_h.astype(np.float64), np.nan)
+    hs = np.sort(h, axis=1)               # NaNs (empty slots) sort last
+    d = np.diff(hs, axis=1)
+    scale = np.maximum(np.abs(hs[:, :-1]), np.abs(hs[:, 1:]))
+    with np.errstate(invalid="ignore"):
+        near = d <= MARGIN_REL * scale    # NaN comparisons -> False
+    return np.any(near, axis=1)
 
 
 def select_peaks_host(cand_pos: np.ndarray, cand_h: np.ndarray,
@@ -203,14 +246,21 @@ def call_peaks_batch(smoothed, lens, min_dist, max_peaks: int = 128):
 
     B, L = smoothed.shape
     tile = tile_for_distance(int(min_dist))
-    cand_pos, cand_h, med, _height, _gated, deep = peak_candidates_batch(
-        jnp.asarray(smoothed), jnp.asarray(lens), tile=tile)
-    peaks = select_peaks_host(np.asarray(cand_pos), np.asarray(cand_h),
-                              int(min_dist))
+    cand_pos, cand_h, med, _height, _gated, deep, marg = \
+        peak_candidates_batch(jnp.asarray(smoothed), jnp.asarray(lens),
+                              tile=tile)
+    cand_pos, cand_h = np.asarray(cand_pos), np.asarray(cand_h)
+    peaks = select_peaks_host(cand_pos, cand_h, int(min_dist))
     deep = np.asarray(deep)
-    if deep.any():
+    marg = np.asarray(marg) | margin_competitors_host(cand_pos, cand_h)
+    if deep.any() or marg.any():
         from ..utils import prof as _prof
-        _prof.current.count("peaks_deep_host_rerun", int(deep.sum()))
+        if deep.any():
+            _prof.current.count("peaks_deep_host_rerun", int(deep.sum()))
+        if (marg & ~deep).any():
+            _prof.current.count("peaks_margin_host_rerun",
+                                int((marg & ~deep).sum()))
+        deep = deep | marg
     sm_np = np.asarray(smoothed)
     lens_np = np.asarray(lens)
     K = max_peaks

@@ -39,7 +39,7 @@ def sharded_locate(mesh: Mesh):
     return jax.jit(
         fn,
         in_shardings=(batch2, batch, repl),
-        out_shardings=(batch, batch, batch2, batch2, batch, batch),
+        out_shardings=(batch, batch, batch2, batch2, batch, batch, batch),
     )
 
 
@@ -58,7 +58,7 @@ def sharded_step(mesh: Mesh):
         return jnp.sum(n_peaks), jnp.mean(scores)
 
     def fn(reads, lens, splints, queries, targets, ql, tl):
-        combo, score, cand_pos, cand_h, _med, _deep = locate_device(
+        combo, score, cand_pos, cand_h, _med, _deep, _marg = locate_device(
             reads, lens, splints)
         n_cand = jnp.sum(cand_pos >= 0, axis=1).astype(jnp.int32)
         a_score, j_end, moves = banded_align_batch(queries, targets, ql, tl,

@@ -337,7 +337,7 @@ class TpuBackend:
                 self.mesh,
                 (P("data", None), P("data"), P(None, None)),
                 (P("data"), P("data"), P("data", None),
-                 P("data", None), P("data"), P("data")))
+                 P("data", None), P("data"), P("data"), P("data")))
             self._sharded_fns[key] = jax.jit(fn)
         return self._sharded_fns[key]
 
@@ -474,28 +474,42 @@ class TpuBackend:
                 else:
                     res = locate_device(R, lens, S, tile=tile)
                 launches.append((chunk, res))
+        from ..kernels.peaks import margin_competitors_host
         deep_rerun: list[int] = []
-        for chunk, (combo, score, cand_pos, cand_h, _med, deep) in launches:
+        margin_rerun: list[int] = []
+        for chunk, (combo, score, cand_pos, cand_h, _med, deep,
+                    marg) in launches:
             combo, score = np.asarray(combo), np.asarray(score)
-            peaks = select_peaks_host(np.asarray(cand_pos),
-                                      np.asarray(cand_h), int(min_dist))
+            cand_pos, cand_h = np.asarray(cand_pos), np.asarray(cand_h)
+            peaks = select_peaks_host(cand_pos, cand_h, int(min_dist))
             deep = np.asarray(deep)
+            marg = np.asarray(marg) | margin_competitors_host(cand_pos,
+                                                              cand_h)
             for r, i in enumerate(chunk):
                 out[i] = LocateResult(int(combo[r]), int(score[r]),
                                       peaks[r].astype(np.int64))
                 if deep[r]:
                     deep_rerun.append(i)
-        if deep_rerun:
-            # a tile held >2 surviving maxima — the one case where the
-            # top-2 compaction can diverge from scipy's selection: those
-            # reads take the ONE shared exact host path (never observed
-            # on real data; counted so it is not silent).  Combo/score
-            # stay device-chosen — bit-parity with the host by kernel
-            # tests — so only the peaks are recomputed.
+                elif marg[r]:
+                    margin_rerun.append(i)
+        if deep_rerun or margin_rerun:
+            # deep: a tile held >2 surviving maxima — the one case where
+            # the top-2 compaction can diverge from scipy's selection.
+            # margin: an f32 threshold/priority comparison sat within
+            # MARGIN_REL of flipping vs the f64 spec path.  Both take
+            # the ONE shared exact host path (rare; counted so a rate
+            # spike is never silent).  Combo/score stay device-chosen —
+            # bit-parity with the host by kernel tests — so only the
+            # peaks are recomputed.
             from ..ref.peaks import exact_peaks_rerun
             from ..utils import prof
-            prof.current.count("peaks_deep_host_rerun", len(deep_rerun))
-            for i in deep_rerun:
+            if deep_rerun:
+                prof.current.count("peaks_deep_host_rerun",
+                                   len(deep_rerun))
+            if margin_rerun:
+                prof.current.count("peaks_margin_host_rerun",
+                                   len(margin_rerun))
+            for i in deep_rerun + margin_rerun:
                 pks = exact_peaks_rerun(
                     np.asarray(reads[i], dtype=np.int8),
                     combos[out[i].combo].codes, min_dist)

@@ -97,7 +97,7 @@ def test_call_peaks_batch_three_deep_chain():
     assert list(want) == [10, 48, 90]  # the chain really is 3-deep
 
     # the detector must fire for this row
-    *_rest, deep = peak_candidates_batch(x, lens, tile=32)
+    *_rest, deep, _marg = peak_candidates_batch(x, lens, tile=32)
     assert bool(np.asarray(deep)[0])
 
     pos, n, _ = call_peaks_batch(x, lens, dist)
@@ -154,3 +154,58 @@ def test_exact_peaks_rerun_matches_numpy_backend():
         padded[:len(scodes)] = scodes
         got_p = exact_peaks_rerun(c, padded, len(scodes) // 2)
         np.testing.assert_array_equal(got_p, w.peaks)
+
+
+def test_margin_guard_near_threshold_peak():
+    """A peak whose height sits within 1e-5 relative of the 3x-median
+    acceptance threshold (the f32-vs-f64 flip zone, VERDICT r4 item 7)
+    must raise the ``margin`` flag and take the exact host rerun, so the
+    result matches the f64 reference rules bit-for-bit."""
+    from c3poa_tpu.kernels.peaks import peak_candidates_batch
+    from c3poa_tpu.utils import prof
+
+    L = 128
+    x = np.ones((1, L), dtype=np.float32)      # median == 1.0 exactly
+    x[0, 80] = 10.0                            # passes the 6x gate
+    x[0, 30] = np.float32(3.0 * (1.0 + 1e-6))  # within 1e-4 of 3*median
+    lens = np.array([L], dtype=np.int32)
+
+    *_rest, deep, marg = peak_candidates_batch(x, lens, tile=32)
+    assert not bool(np.asarray(deep)[0])
+    assert bool(np.asarray(marg)[0])
+
+    prof.reset()
+    want, _ = ref_peaks.call_peaks(x[0].astype(np.float64), 33)
+    pos, n, _ = call_peaks_batch(x, lens, 33)
+    pos, n = np.asarray(pos), np.asarray(n)
+    np.testing.assert_array_equal(pos[0, :n[0]], want)
+    assert prof.current.counts.get("peaks_margin_host_rerun", 0) == 1
+
+
+def test_margin_guard_near_gate():
+    """xmax within the f32 margin of the 6x-median noise gate flags the
+    read; far from it (either side) does not."""
+    from c3poa_tpu.kernels.peaks import peak_candidates_batch
+
+    L = 128
+    rows = np.ones((3, L), dtype=np.float32)
+    rows[0, 64] = np.float32(6.0 * (1.0 - 1e-6))   # just under the gate
+    rows[1, 64] = 5.0                              # clearly gated
+    rows[2, 64] = 10.0                             # clearly open
+    lens = np.full(3, L, dtype=np.int32)
+    *_rest, _deep, marg = peak_candidates_batch(rows, lens, tile=32)
+    marg = np.asarray(marg)
+    assert bool(marg[0]) and not bool(marg[1]) and not bool(marg[2])
+
+
+def test_margin_guard_competitor_order():
+    """Two surviving candidates with near-equal f32 heights: their
+    by-height selection priority could invert in f64, so the host-side
+    competitor check must flag the read."""
+    from c3poa_tpu.kernels.peaks import margin_competitors_host
+
+    cand_pos = np.array([[10, 70, -1], [10, 70, -1]], dtype=np.int32)
+    cand_h = np.array([[5.0, 5.0 * (1.0 + 1e-6), 0.0],
+                       [5.0, 7.0, 0.0]], dtype=np.float32)
+    got = margin_competitors_host(cand_pos, cand_h)
+    assert bool(got[0]) and not bool(got[1])
