@@ -115,6 +115,50 @@ def _vote_pool():
     return _VOTE_POOL
 
 
+_POA_POOL = None
+
+
+def _poa_pool():
+    """Process-wide pool for divergence-routed POA consensi.  The C twin
+    (native/poa.c) releases the GIL, so routed reads run genuinely
+    parallel AND overlap the pipeline: futures are submitted as soon as
+    the round-1 records exist (consensus_align, the align thread) and
+    collected in consensus_finalize a pipeline stage later."""
+    global _POA_POOL
+    if _POA_POOL is None:
+        from concurrent.futures import ThreadPoolExecutor
+        _POA_POOL = ThreadPoolExecutor(max_workers=4,
+                                       thread_name_prefix="c3_poa")
+    return _POA_POOL
+
+
+def _poa_consensus_read(subreads, sub_quals):
+    """One routed read's POA consensus: the scalar-C twin when the
+    native library accepts (bit-identical, tests/test_poa_native.py),
+    else the numpy spec path (counted)."""
+    got = native.poa_consensus_c(subreads, sub_quals)
+    if got is not None:
+        return got
+    from ..ref.poa import poa_consensus
+    from ..utils import prof
+    prof.current.count("poa_native_declined")
+    return poa_consensus(subreads, sub_quals)
+
+
+def _diverged_owner(job, others, poa_fallback: float) -> bool:
+    """Divergence detector on round-1 records (see ConsensusParams
+    .poa_fallback): mean symmetric aligned fraction of the voters below
+    the threshold routes the read to the POA graph path."""
+    if poa_fallback <= 0 or not others:
+        return False
+    acc = 0.0
+    for a in others:
+        span = max(a.rec.j_end - a.rec.j_start, 0)
+        ql = max(len(a.query), 1)
+        acc += min(span, ql) / max(span, ql, 1)
+    return (acc / len(others)) < poa_fallback
+
+
 def resolve_fast_band(p: "ConsensusParams") -> int:
     """Host-level fast-band resolution (see ConsensusParams.fast_band).
     Returns the band to use for core full-draft pairs (p.band when the
@@ -287,10 +331,22 @@ def consensus_align(state0: dict, align_many: AlignMany | None = None
                 a = SubreadAln(banded.embed_record(a.rec, offset, full_nt),
                                a.query, a.qual)
             by_owner.setdefault(ji, []).append(a)
+    # divergence-routed reads: submit their POA consensi NOW, so the
+    # GIL-released C graph DP (native/poa.c) overlaps the rest of this
+    # group's device work and the previous group's finalize instead of
+    # serializing inside consensus_finalize (round-4 verdict item 2)
+    jobs, p = state0["jobs"], state0["p"]
+    poa_futures: dict[int, object] = {}
+    for ji, job in enumerate(jobs):
+        if (isinstance(state0["cons"][ji], tuple)
+                and _diverged_owner(job, by_owner.get(ji, []),
+                                    p.poa_fallback)):
+            poa_futures[ji] = _poa_pool().submit(
+                _poa_consensus_read, job.subreads, job.sub_quals)
     return {"jobs": state0["jobs"], "p": state0["p"],
             "align_many": align_many, "n": state0["n"],
             "cons": state0["cons"], "cons_q": state0["cons_q"],
-            "by_owner": by_owner}
+            "by_owner": by_owner, "poa_futures": poa_futures}
 
 
 def consensus_prepare(jobs: Sequence[ConsensusJob],
@@ -340,37 +396,30 @@ def consensus_finalize(state: dict) -> list:
         cons[ji], cons_q[ji] = vote_consensus(
             len(draft), voters, qmin=p.qmin)
 
-    def _diverged(ji) -> bool:
-        """Cheap per-read divergence detector on records already in
-        hand: mean symmetric aligned fraction of the voters.  Flags
-        chimeric/truncated copy structure (ConsensusParams.poa_fallback)
-        without extra device work."""
-        others = by_owner.get(ji, [])
-        if p.poa_fallback <= 0 or not others:
-            return False
-        acc = 0.0
-        for a in others:
-            span = max(a.rec.j_end - a.rec.j_start, 0)
-            ql = max(len(a.query), 1)
-            acc += min(span, ql) / max(span, ql, 1)
-        return (acc / len(others)) < p.poa_fallback
-
     pending_votes = [ji for ji in range(n)
                      if isinstance(cons[ji], tuple) and cons[ji][0] == "draft"]
     from ..utils import prof
-    routed = [ji for ji in pending_votes if _diverged(ji)]
+    routed = [ji for ji in pending_votes
+              if _diverged_owner(jobs[ji], by_owner.get(ji, []),
+                                 p.poa_fallback)]
     if routed:
         # POA-graph fallback: consensus of the core subreads in read
         # order (the abPOA role, bin/determine_consensus.py:42-47) —
         # host-side and backend-independent, so outputs stay identical
-        # across numpy/scan/Pallas/mesh
-        from ..ref.poa import poa_consensus
+        # across numpy/scan/Pallas/mesh.  The futures were submitted by
+        # consensus_align (C twin, GIL-released, 4-thread pool), so the
+        # stage below times only the residual wait; direct finalize
+        # callers without futures compute here.
+        futures = state.get("poa_futures", {})
         prof.current.count("poa_fallback_reads", len(routed))
         with prof.current.stage("poa_fallback"):
             for ji in routed:
-                job = jobs[ji]
-                cons[ji], cons_q[ji] = poa_consensus(job.subreads,
-                                                     job.sub_quals)
+                fut = futures.get(ji)
+                if fut is not None:
+                    cons[ji], cons_q[ji] = fut.result()
+                else:
+                    cons[ji], cons_q[ji] = _poa_consensus_read(
+                        jobs[ji].subreads, jobs[ji].sub_quals)
         routed_set = set(routed)
         pending_votes = [ji for ji in pending_votes
                          if ji not in routed_set]

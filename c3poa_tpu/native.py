@@ -159,6 +159,13 @@ def get_lib():
         ]
     except AttributeError:  # stale .so without the CPU aligner symbol
         pass
+    try:
+        lib.c3_poa_consensus.restype = i64
+        lib.c3_poa_consensus.argtypes = [
+            i8p, i8p, i64p, i32, i64, i64, i64, i64, i8p, i8p, i64,
+        ]
+    except AttributeError:  # stale .so without the POA symbol
+        pass
     _LIB = lib
     return _LIB
 
@@ -384,6 +391,41 @@ def vote_jobs_c(job_voters, drafts, draft_quals, qmin: int = 5,
         results.append((out_codes[a:a + n].copy(),
                         out_quals[a:a + n].copy()))
     return results
+
+
+# ---------------- POA fallback (divergence-routed reads) ----------------
+
+def poa_consensus_c(seqs, quals, match=5, mismatch=-4, gap_open=4,
+                    gap_ext=2):
+    """GIL-released scalar-C twin of ref.poa.poa_consensus (native/poa.c),
+    bit-identical tie-breaks.  Returns (codes, quals) or None when the
+    library/symbol is unavailable or the C side declines (DP cell cap /
+    pred-count cap / allocation failure) — callers fall back to the
+    numpy spec path."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "c3_poa_consensus"):
+        return None
+    n = len(seqs)
+    if n == 0:
+        return np.zeros(0, dtype=np.int8), np.zeros(0, dtype=np.int8)
+    lens = np.array([len(s) for s in seqs], dtype=np.int64)
+    total = int(lens.sum())
+    cat_s = np.empty(max(total, 1), dtype=np.int8)
+    cat_q = np.empty(max(total, 1), dtype=np.int8)
+    off = 0
+    for s, q in zip(seqs, quals):
+        cat_s[off:off + len(s)] = s
+        cat_q[off:off + len(s)] = q
+        off += len(s)
+    cap = total + 8
+    out_c = np.empty(cap, dtype=np.int8)
+    out_q = np.empty(cap, dtype=np.int8)
+    m = lib.c3_poa_consensus(cat_s, cat_q, lens, n,
+                             match, mismatch, gap_open, gap_ext,
+                             out_c, out_q, cap)
+    if m < 0:
+        return None
+    return out_c[:m].copy(), out_q[:m].copy()
 
 
 # ---------------- overlap ----------------
