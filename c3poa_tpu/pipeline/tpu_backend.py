@@ -222,14 +222,6 @@ def _align_trace_impl(Q, T, ql, tl, *, band, match, mismatch, gap_open,
     Returns (result, ops_packed)."""
     if _pallas_align_on():
         from ..kernels.pallas_banded import banded_align_trace_pallas_cached
-        if os.environ.get("C3POA_ALIGN_T", "0") == "1":
-            # transposed forward (band on sublanes) + transposed walk —
-            # bit-identical contract (packed gapped ops)
-            from ..kernels.pallas_banded_t import (
-                banded_align_trace_pallas_t)
-            return banded_align_trace_pallas_t(
-                Q, T, ql, tl, band=band, match=match, mismatch=mismatch,
-                gap_open=gap_open, gap_ext=gap_ext), True
         # Round-4 defaults: FAT tiles + fold + raised scoped-VMEM limit.
         # The align forward is per-op-issue-bound, so more pairs per op
         # dilutes the fixed cost: launch-level sweep (tools/align_sweep)

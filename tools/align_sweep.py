@@ -65,16 +65,14 @@ def main():
                      .astype(np.int32))[::-1].copy()
         return q, q.copy(), ql, ql.copy()
 
-    from c3poa_tpu.kernels.pallas_banded_t import banded_fwd_pallas_t
-
     fns = {}
     for c in cfgs:
         if c in ("t", "te"):
-            # the transposed (band-on-sublanes) forward
-            kw = dict(early=(c == "te"))
-            fns[c] = jax.jit(lambda q, t, ql, tl, kw=kw: (
-                lambda s, j, mv: (s, j, jnp.max(mv)))(
-                *banded_fwd_pallas_t(q, t, ql, tl, band=W, **kw)))
+            # the transposed (band-on-sublanes) forward was deleted in
+            # round 5 after losing its A/B (0.57x, BENCHMARKS.md kernel
+            # table — register spill at (128, 128)-per-operand tiles)
+            print(f"{c}: transposed kernel removed (r4 A/B 0.57x); "
+                  f"see BENCHMARKS.md", flush=True)
             continue
         kw = parse_cfg(c)
         fns[c] = jax.jit(lambda q, t, ql, tl, kw=kw: (
