@@ -119,6 +119,23 @@ def _unpack_b5(packed, L):
     return parts.reshape(B, -1)[:, :L].astype(jnp.int8)
 
 
+def profile_rows(reads, lens, splints):
+    """Profile-only launch for flagged-read reruns: (B, C, L) int32,
+    bit-exact vs ref.sw.start_profile.  Callers batch flagged reads in
+    fixed chunks of 8 rows so each L bucket compiles exactly one extra
+    (8, C, L) program; the f64 decisions then rerun on the host
+    (ref.peaks.exact_peaks_from_profile) without the O(m*n) host DP
+    that made margin/deep reruns ~1 s/read."""
+    B, L = reads.shape
+    return _profile_rows_jit(reads, lens, splints,
+                             popts=profile_opts(B, L))
+
+
+@partial(jax.jit, static_argnames=("popts",))
+def _profile_rows_jit(reads, lens, splints, popts=None):
+    return _profile_impl(reads, splints, lens, popts)
+
+
 def locate_device(reads: jax.Array, lens: jax.Array, splints: jax.Array,
                   tile: int = 64, unpack_l: int | None = None):
     """reads (B, L) int8 pad 4; lens (B,) int32; splints (C, m) int8 pad 4.
@@ -181,7 +198,7 @@ def locate_batch(reads, lens, splints, min_dist, max_peaks: int = 128):
     deep = np.asarray(deep)
     marg = np.asarray(marg) | margin_competitors_host(cand_pos, cand_h)
     if deep.any() or marg.any():
-        from ..ref.peaks import exact_peaks_rerun
+        from ..ref.peaks import exact_peaks_from_profile
         from ..utils import prof as _prof
         if deep.any():
             _prof.current.count("peaks_deep_host_rerun", int(deep.sum()))
@@ -190,12 +207,24 @@ def locate_batch(reads, lens, splints, min_dist, max_peaks: int = 128):
                                 int((marg & ~deep).sum()))
         deep = deep | marg
         combo_np = np.asarray(combo)
-        splints_np = np.asarray(splints)
-        for b in np.flatnonzero(deep):
-            codes = np.asarray(reads[b][:lens[b]], dtype=np.int8)
-            peaks[b] = exact_peaks_rerun(
-                codes, splints_np[combo_np[b]],
-                int(min_dist)).astype(np.int64)
+        reads_np = np.asarray(reads)
+        lens_np = np.asarray(lens)
+        flagged = np.flatnonzero(deep)
+        # fetch the flagged reads' EXACT device profiles in chunks of 8
+        # (one extra compiled shape per L bucket), then redo only the
+        # f64 float decisions on the host
+        for c0 in range(0, len(flagged), 8):
+            chunk = flagged[c0:c0 + 8]
+            R8 = np.full((8, L), 4, dtype=np.int8)
+            l8 = np.full(8, 64, dtype=np.int32)
+            R8[:len(chunk)] = reads_np[chunk]
+            l8[:len(chunk)] = lens_np[chunk]
+            prof8 = np.asarray(profile_rows(
+                jnp.asarray(R8), jnp.asarray(l8), jnp.asarray(splints)))
+            for r, b in enumerate(chunk):
+                row = prof8[r, combo_np[b], :lens_np[b]]
+                peaks[b] = exact_peaks_from_profile(
+                    row, int(min_dist)).astype(np.int64)
     K = max_peaks
     pos = np.full((B, K), L, dtype=np.int32)
     n = np.zeros(B, dtype=np.int32)

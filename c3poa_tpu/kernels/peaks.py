@@ -28,14 +28,23 @@ import numpy as np
 
 NEG_F = jnp.float32(-3.0e38)
 
-# Relative margin for the f32-vs-f64 threshold guard: the device smooths
-# in float32 while the exact spec (ref/sg.py + ref/peaks.py) runs float64;
-# measured divergence is ~1e-5 relative (PARITY.md), so any comparison
-# against the 3x/6x-median gates that lands within 1e-4 relative of the
-# threshold (10x safety) is routed to the exact host rerun instead of
-# being decided in f32.  Reads outside the margin cannot flip between
-# backends; reads inside it are recomputed end-to-end in f64.
+# Margins for the f32-vs-f64 guard: the device smooths in float32 while
+# the exact spec (ref/sg.py + ref/peaks.py) runs float64.  Measured on
+# bench-shaped profiles (12 reads, 7-17 kb): the f32 smoothed values
+# differ from f64 by at most 7.8e-5 ABSOLUTE (~5 ulps at peak heights
+# ~170), the median by 2.9e-7 relative.
+# - MARGIN_REL guards comparisons against the 3x/6x-median thresholds
+#   (both sides carry the error): 1e-4 relative ~ 200x the measured
+#   flip zone at typical heights — conservative, and cheap because the
+#   rerun no longer recomputes the DP (see exact_peaks_from_profile).
+# - ORDER_REL guards the BY-HEIGHT selection priority between two
+#   peaks: an order flip needs |h1-h2| within ~2x the absolute f32
+#   error (1.6e-4 abs, ~1e-6 relative at height 170).  4e-6 relative
+#   is ~8x that zone.  Real tandem-repeat peaks routinely sit 1e-5-1e-4
+#   relative apart, so a wider margin over-fires on healthy reads (the
+#   round-5 locate-thread collapse; see ROUND5.md).
 MARGIN_REL = 1e-4
+ORDER_REL = 4e-6
 
 
 def _pow2_at_most(n: int, lo: int = 1) -> int:
@@ -205,7 +214,7 @@ def margin_competitors_host(cand_pos: np.ndarray,
     d = np.diff(hs, axis=1)
     scale = np.maximum(np.abs(hs[:, :-1]), np.abs(hs[:, 1:]))
     with np.errstate(invalid="ignore"):
-        near = d <= MARGIN_REL * scale    # NaN comparisons -> False
+        near = d <= ORDER_REL * scale     # NaN comparisons -> False
     return np.any(near, axis=1)
 
 

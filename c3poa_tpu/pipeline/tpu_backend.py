@@ -488,12 +488,16 @@ class TpuBackend:
             # deep: a tile held >2 surviving maxima — the one case where
             # the top-2 compaction can diverge from scipy's selection.
             # margin: an f32 threshold/priority comparison sat within
-            # MARGIN_REL of flipping vs the f64 spec path.  Both take
-            # the ONE shared exact host path (rare; counted so a rate
-            # spike is never silent).  Combo/score stay device-chosen —
-            # bit-parity with the host by kernel tests — so only the
-            # peaks are recomputed.
-            from ..ref.peaks import exact_peaks_rerun
+            # the measured flip zone of the f64 spec path.  Both take
+            # the ONE shared exact decision path (counted so a rate
+            # spike is never silent): the EXACT int32 profile rows are
+            # fetched from the device in chunks of 8 (one extra
+            # compiled shape per L bucket) and only the f64 float
+            # decisions rerun on the host — not the O(m*n) host DP.
+            # Combo/score stay device-chosen — bit-parity with the host
+            # by kernel tests — so only the peaks are recomputed.
+            from ..kernels.locate import profile_rows
+            from ..ref.peaks import exact_peaks_from_profile
             from ..utils import prof
             if deep_rerun:
                 prof.current.count("peaks_deep_host_rerun",
@@ -501,12 +505,23 @@ class TpuBackend:
             if margin_rerun:
                 prof.current.count("peaks_margin_host_rerun",
                                    len(margin_rerun))
-            for i in deep_rerun + margin_rerun:
-                pks = exact_peaks_rerun(
-                    np.asarray(reads[i], dtype=np.int8),
-                    combos[out[i].combo].codes, min_dist)
-                out[i] = LocateResult(out[i].combo, out[i].score,
-                                      pks.astype(np.int64))
+            flagged = sorted(deep_rerun + margin_rerun,
+                             key=lambda i: len(reads[i]))
+            for c0 in range(0, len(flagged), 8):
+                chunk = flagged[c0:c0 + 8]
+                Lb = _bucket_len(max(len(reads[i]) for i in chunk))
+                R8 = np.full((8, Lb), 4, dtype=np.int8)
+                l8 = np.full(8, 64, dtype=np.int32)
+                for r, i in enumerate(chunk):
+                    codes = reads[i][:Lb]
+                    R8[r, :len(codes)] = codes
+                    l8[r] = len(codes)
+                prof8 = np.asarray(profile_rows(R8, l8, S))
+                for r, i in enumerate(chunk):
+                    row = prof8[r, out[i].combo, :l8[r]]
+                    pks = exact_peaks_from_profile(row, min_dist)
+                    out[i] = LocateResult(out[i].combo, out[i].score,
+                                          pks.astype(np.int64))
         return out
 
     # ---------------- adapters (postprocessing) ----------------

@@ -106,6 +106,18 @@ def exact_peaks_rerun(codes: np.ndarray, splint_codes: np.ndarray,
     prof = ref_sw.start_profile(np.asarray(splint_codes, dtype=np.int8),
                                 np.asarray(codes, dtype=np.int8),
                                 match, mismatch, gap)
-    sm = ref_sg.smooth3(prof)
+    return exact_peaks_from_profile(prof, min_dist)
+
+
+def exact_peaks_from_profile(profile: np.ndarray,
+                             min_dist: int) -> np.ndarray:
+    """The exact f64 decision half of ``exact_peaks_rerun`` given an
+    already-computed EXACT score profile: smooth3 + scipy-exact
+    selection.  The device profile is int32 and bit-exact vs ref/sw
+    (kernel parity tests), so device consumers fetch the flagged reads'
+    profile rows and redo only the FLOAT decisions here — byte-identical
+    to the full host rerun at ~1/200 the cost (no O(m*n) DP)."""
+    from . import sg as ref_sg
+    sm = ref_sg.smooth3(np.asarray(profile, dtype=np.float64))
     pks, _med = call_peaks(sm, int(min_dist))
     return pks
