@@ -679,13 +679,15 @@ class TpuBackend:
                     params.gap_ext)
                 res = fn(Q, T, ql, tl)
             else:
-                if os.environ.get("C3POA_PACK_ALIGN", "0") == "1":
+                if os.environ.get("C3POA_PACK_ALIGN", "1") == "1":
                     # base-5 packed upload (3x smaller), expanded on
                     # device (kernels/locate.unpack_b5_device) — the
                     # align kernels then consume resident arrays.
-                    # Bit-identical (test_packed_upload_align_parity);
-                    # pays off where the relayed transfer is serialized
-                    # (tools/locate_breakdown.py).
+                    # Bit-identical (test_packed_upload_align_parity).
+                    # DEFAULT ON since round 5: interleaved A/B 1.136x
+                    # (won 3/3 rounds; earlier rounds measured 1.007x-
+                    # 1.041x, never a loss — the win grows when the
+                    # relayed transfer path degrades, BENCHMARKS.md).
                     from ..kernels.locate import pack_b5, unpack_b5_device
                     Qd = unpack_b5_device(pack_b5(Q), nq)
                     Td = unpack_b5_device(pack_b5(T), nt)
