@@ -407,19 +407,11 @@ def consensus_finalize(state: dict) -> list:
         # order (the abPOA role, bin/determine_consensus.py:42-47) —
         # host-side and backend-independent, so outputs stay identical
         # across numpy/scan/Pallas/mesh.  The futures were submitted by
-        # consensus_align (C twin, GIL-released, 4-thread pool), so the
-        # stage below times only the residual wait; direct finalize
-        # callers without futures compute here.
-        futures = state.get("poa_futures", {})
+        # consensus_align (C twin, GIL-released, 4-thread pool).
+        # Collection is DEFERRED to after this group's votes (below):
+        # the vote stage's GIL-released C work overlaps the tail of the
+        # POA pool's, so poa_fallback times only the residual wait.
         prof.current.count("poa_fallback_reads", len(routed))
-        with prof.current.stage("poa_fallback"):
-            for ji in routed:
-                fut = futures.get(ji)
-                if fut is not None:
-                    cons[ji], cons_q[ji] = fut.result()
-                else:
-                    cons[ji], cons_q[ji] = _poa_consensus_read(
-                        jobs[ji].subreads, jobs[ji].sub_quals)
         routed_set = set(routed)
         pending_votes = [ji for ji in pending_votes
                          if ji not in routed_set]
@@ -456,6 +448,20 @@ def consensus_finalize(state: dict) -> list:
         else:
             for ji in left:
                 vote_job(ji)
+
+    if routed:
+        # collect the routed reads' POA futures (submitted a pipeline
+        # stage ago by consensus_align) only now, after the votes:
+        # maximal overlap on a CPU-saturated host
+        futures = state.get("poa_futures", {})
+        with prof.current.stage("poa_fallback"):
+            for ji in routed:
+                fut = futures.get(ji)
+                if fut is not None:
+                    cons[ji], cons_q[ji] = fut.result()
+                else:
+                    cons[ji], cons_q[ji] = _poa_consensus_read(
+                        jobs[ji].subreads, jobs[ji].sub_quals)
 
     # ---- rounds 2..R: racon role over core + dangling ----
     for _ in range(p.rounds - 1):

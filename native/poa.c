@@ -224,31 +224,74 @@ static int64_t poa_align(Graph *g, const int8_t *seq, int64_t L,
          * iteration).  pi == 0 initializes unconditionally — no
          * separate init pass. */
         for (int32_t pi = 0; pi < np_; pi++) {
+            if (pranks[pi] == 0) {
+                /* virtual-start sentinel (always LAST; also pi == 0
+                 * for pred-less nodes): H0 is all zeros, E0 all NEG16
+                 * — fold both rows to constants, no loads.
+                 * cand = max(0 - oe, NEG16 - e) = -oe; from_e = 0;
+                 * dcand = 0 + sub[j]. */
+                const int16_t cse = (int16_t)(0 - oe16);
+                if (pi == 0) {
+                    Dk[0] = NEG16;
+                    for (int64_t j = 0; j < W; j++) {
+                        Ek[j] = cse;
+                        ee[j] = 0;
+                    }
+                    for (int64_t j = 0; j < W - 1; j++)
+                        Dk[j + 1] = sub[j];
+                } else {
+                    for (int64_t j = 0; j < W; j++) {
+                        int16_t better = cse > Ek[j];
+                        Ek[j] = better ? cse : Ek[j];
+                        ee[j] = better ? (int16_t)0 : ee[j];
+                    }
+                    for (int64_t j = 0; j < W - 1; j++)
+                        Dk[j + 1] = sub[j] > Dk[j + 1] ? sub[j]
+                                                       : Dk[j + 1];
+                }
+                continue;
+            }
             const int16_t *Hp = H + (int64_t)pranks[pi] * W;
             const int16_t *Ep = E + (int64_t)pranks[pi] * W;
+            /* E part at j and diag into j+1 share the Hp[j] load: one
+             * fused pass over j < W-1, the last E column scalar */
             if (pi == 0) {
                 Dk[0] = NEG16;
-                for (int64_t j = 0; j < W; j++) {
-                    int16_t open_ = (int16_t)(Hp[j] - oe16);
+                for (int64_t j = 0; j < W - 1; j++) {
+                    int16_t hp = Hp[j];
+                    int16_t open_ = (int16_t)(hp - oe16);
                     int16_t ext_ = (int16_t)(Ep[j] - e16);
                     Ek[j] = open_ > ext_ ? open_ : ext_;
                     ee[j] = ext_ > open_;
+                    Dk[j + 1] = (int16_t)(hp + sub[j]);
                 }
-                for (int64_t j = 0; j < W - 1; j++)
-                    Dk[j + 1] = (int16_t)(Hp[j] + sub[j]);
+                {
+                    int16_t open_ = (int16_t)(Hp[W - 1] - oe16);
+                    int16_t ext_ = (int16_t)(Ep[W - 1] - e16);
+                    Ek[W - 1] = open_ > ext_ ? open_ : ext_;
+                    ee[W - 1] = ext_ > open_;
+                }
             } else {
-                for (int64_t j = 0; j < W; j++) {
-                    int16_t open_ = (int16_t)(Hp[j] - oe16);
+                for (int64_t j = 0; j < W - 1; j++) {
+                    int16_t hp = Hp[j];
+                    int16_t open_ = (int16_t)(hp - oe16);
                     int16_t ext_ = (int16_t)(Ep[j] - e16);
                     int16_t cand = open_ > ext_ ? open_ : ext_;
                     int16_t better = cand > Ek[j];
                     int16_t from_e = ext_ > open_;
                     Ek[j] = better ? cand : Ek[j];
                     ee[j] = better ? from_e : ee[j];
-                }
-                for (int64_t j = 0; j < W - 1; j++) {
-                    int16_t dcand = (int16_t)(Hp[j] + sub[j]);
+                    int16_t dcand = (int16_t)(hp + sub[j]);
                     Dk[j + 1] = dcand > Dk[j + 1] ? dcand : Dk[j + 1];
+                }
+                {
+                    int16_t open_ = (int16_t)(Hp[W - 1] - oe16);
+                    int16_t ext_ = (int16_t)(Ep[W - 1] - e16);
+                    int16_t cand = open_ > ext_ ? open_ : ext_;
+                    int16_t better = cand > Ek[W - 1];
+                    Ek[W - 1] = better ? cand : Ek[W - 1];
+                    ee[W - 1] = better ? (int16_t)(ext_ > open_)
+                                       : ee[W - 1];
                 }
             }
         }
