@@ -196,7 +196,8 @@ def locate_batch(reads, lens, splints, min_dist, max_peaks: int = 128):
     # construction; counted so a rate spike is never silent)
     from .peaks import margin_competitors_host
     deep = np.asarray(deep)
-    marg = np.asarray(marg) | margin_competitors_host(cand_pos, cand_h)
+    marg = np.asarray(marg) | margin_competitors_host(
+        cand_pos, cand_h, int(min_dist))
     if deep.any() or marg.any():
         from ..ref.peaks import exact_peaks_from_profile
         from ..utils import prof as _prof

@@ -202,20 +202,65 @@ def peak_candidates_batch(smoothed: jax.Array, lens: jax.Array,
     return cand_pos, cand_h, med, height, gated, deep, margin
 
 
-def margin_competitors_host(cand_pos: np.ndarray,
-                            cand_h: np.ndarray) -> np.ndarray:
-    """Reads with two surviving candidates within MARGIN_REL of each
-    other in height (f32): the distance selection's by-height priority
-    order could differ from the f64 spec path for them, so they join the
-    exact host rerun (same peaks_margin_host_rerun counter).  Tiny host
-    work on the compacted (B, 2M) candidate block."""
+def margin_competitors_host(cand_pos: np.ndarray, cand_h: np.ndarray,
+                            min_dist: int = 0) -> np.ndarray:
+    """Reads where two surviving candidates' by-height selection order
+    could flip between f32 and f64 (within ORDER_REL) AND the flip can
+    affect the output: such reads join the exact host rerun (same
+    peaks_margin_host_rerun counter).  Tiny host work on the compacted
+    (B, 2M) candidate block.
+
+    Soundness of the interaction filter (min_dist > 0): swapping the
+    processing order of a near-equal pair (A, B) can only change
+    select_by_distance's result through peaks within ceil(distance) of
+    A or B.  If |A - B| >= ceil(distance) and NO other candidate lies
+    within ceil(distance) of either, both survive under either order
+    and nothing else is affected — skip the flag."""
     h = np.where(cand_pos >= 0, cand_h.astype(np.float64), np.nan)
     hs = np.sort(h, axis=1)               # NaNs (empty slots) sort last
     d = np.diff(hs, axis=1)
     scale = np.maximum(np.abs(hs[:, :-1]), np.abs(hs[:, 1:]))
     with np.errstate(invalid="ignore"):
         near = d <= ORDER_REL * scale     # NaN comparisons -> False
-    return np.any(near, axis=1)
+    out = np.any(near, axis=1)
+    if min_dist <= 0 or not out.any():
+        return out
+    dist = int(np.ceil(min_dist))
+    for b in np.flatnonzero(out):
+        sel = cand_pos[b] >= 0
+        pos = np.sort(cand_pos[b][sel].astype(np.int64))
+        hb = np.sort(h[b][sel])
+        gaps = np.diff(hb)
+        sc = np.maximum(np.abs(hb[:-1]), np.abs(hb[1:]))
+        pairs = np.flatnonzero(gaps <= ORDER_REL * sc)
+        # candidate spacing: any neighbour within dist of anything?
+        spaced = np.diff(pos)
+        if len(pos) >= 2 and spaced.min() >= dist:
+            # every candidate is >= dist from every other: no pair can
+            # interact with anything — all near-pairs are harmless
+            out[b] = False
+            continue
+        # otherwise keep the flag unless every near pair is isolated
+        safe = True
+        for pi_ in pairs:
+            v1, v2 = hb[pi_], hb[pi_ + 1]
+            members = np.flatnonzero((h[b][sel] == v1) | (h[b][sel] == v2))
+            mpos = cand_pos[b][sel][members].astype(np.int64)
+            if len(mpos) != 2 or abs(int(mpos[0]) - int(mpos[1])) < dist:
+                safe = False
+                break
+            for q in cand_pos[b][sel].astype(np.int64):
+                if q in (mpos[0], mpos[1]):
+                    continue
+                if (abs(q - int(mpos[0])) < dist
+                        or abs(q - int(mpos[1])) < dist):
+                    safe = False
+                    break
+            if not safe:
+                break
+        if safe:
+            out[b] = False
+    return out
 
 
 def select_peaks_host(cand_pos: np.ndarray, cand_h: np.ndarray,
@@ -261,7 +306,8 @@ def call_peaks_batch(smoothed, lens, min_dist, max_peaks: int = 128):
     cand_pos, cand_h = np.asarray(cand_pos), np.asarray(cand_h)
     peaks = select_peaks_host(cand_pos, cand_h, int(min_dist))
     deep = np.asarray(deep)
-    marg = np.asarray(marg) | margin_competitors_host(cand_pos, cand_h)
+    marg = np.asarray(marg) | margin_competitors_host(
+        cand_pos, cand_h, int(min_dist))
     if deep.any() or marg.any():
         from ..utils import prof as _prof
         if deep.any():

@@ -475,8 +475,8 @@ class TpuBackend:
             cand_pos, cand_h = np.asarray(cand_pos), np.asarray(cand_h)
             peaks = select_peaks_host(cand_pos, cand_h, int(min_dist))
             deep = np.asarray(deep)
-            marg = np.asarray(marg) | margin_competitors_host(cand_pos,
-                                                              cand_h)
+            marg = np.asarray(marg) | margin_competitors_host(
+                cand_pos, cand_h, int(min_dist))
             for r, i in enumerate(chunk):
                 out[i] = LocateResult(int(combo[r]), int(score[r]),
                                       peaks[r].astype(np.int64))

@@ -18,8 +18,10 @@ from __future__ import annotations
 import numpy as np
 
 
-def local_maxima(x: np.ndarray) -> np.ndarray:
-    """Indices of local maxima (plateau midpoints), scipy _local_maxima_1d."""
+def local_maxima_loop(x: np.ndarray) -> np.ndarray:
+    """Indices of local maxima (plateau midpoints), scipy
+    _local_maxima_1d — the literal loop port, kept as the oracle for
+    the vectorized version below."""
     x = np.asarray(x)
     n = len(x)
     out = []
@@ -37,6 +39,26 @@ def local_maxima(x: np.ndarray) -> np.ndarray:
                 i = i_ahead
         i += 1
     return np.array(out, dtype=np.int64)
+
+
+def local_maxima(x: np.ndarray) -> np.ndarray:
+    """Vectorized local_maxima_loop (identical output, tested): a
+    plateau [l, r] is a peak iff the value strictly rises into l and
+    strictly falls after r, reported at (l + r) // 2; plateaus touching
+    either edge never qualify.  Consecutive sign changes of the diff
+    give exactly those runs."""
+    x = np.asarray(x)
+    if len(x) < 3:
+        return np.array([], dtype=np.int64)
+    d = np.diff(x)
+    nz = np.flatnonzero(d)
+    if len(nz) < 2:
+        return np.array([], dtype=np.int64)
+    rising = d[nz] > 0
+    pk = np.flatnonzero(rising[:-1] & ~rising[1:])
+    left = nz[pk] + 1
+    right = nz[pk + 1]
+    return ((left + right) // 2).astype(np.int64)
 
 
 def select_by_distance(peaks: np.ndarray, priority: np.ndarray, distance: float) -> np.ndarray:

@@ -209,3 +209,23 @@ def test_margin_guard_competitor_order():
                        [5.0, 7.0, 0.0]], dtype=np.float32)
     got = margin_competitors_host(cand_pos, cand_h)
     assert bool(got[0]) and not bool(got[1])
+
+
+def test_margin_competitor_interaction_filter():
+    """A near-equal pair that cannot interact (>= distance apart, no
+    third candidate within distance of either) is safely skipped; the
+    same pair WITH a nearby third candidate still flags."""
+    from c3poa_tpu.kernels.peaks import margin_competitors_host
+
+    iso = np.array([[100, 900, -1]], dtype=np.int32)
+    h = np.array([[5.0, 5.0 * (1.0 + 1e-7), 0.0]], dtype=np.float32)
+    assert not bool(margin_competitors_host(iso, h, 300)[0])
+    # pair itself closer than distance: order decides which survives
+    close = np.array([[100, 250, -1]], dtype=np.int32)
+    assert bool(margin_competitors_host(close, h, 300)[0])
+    # third candidate within distance of one member
+    three = np.array([[100, 900, 1050]], dtype=np.int32)
+    h3 = np.array([[5.0, 5.0 * (1.0 + 1e-7), 7.0]], dtype=np.float32)
+    assert bool(margin_competitors_host(three, h3, 300)[0])
+    # min_dist=0 (no interaction info): conservative flag stays
+    assert bool(margin_competitors_host(iso, h, 0)[0])
