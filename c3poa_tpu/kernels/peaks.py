@@ -216,12 +216,15 @@ def margin_competitors_host(cand_pos: np.ndarray, cand_h: np.ndarray,
     A or B.  If |A - B| >= ceil(distance) and NO other candidate lies
     within ceil(distance) of either, both survive under either order
     and nothing else is affected — skip the flag."""
-    h = np.where(cand_pos >= 0, cand_h.astype(np.float64), np.nan)
+    # f32 screen (the guard has >= 2x safety margin over the measured
+    # flip zone, and the candidates are f32 natively; f64 would double
+    # the per-launch sort cost for identical flag decisions)
+    h = np.where(cand_pos >= 0, cand_h.astype(np.float32), np.nan)
     hs = np.sort(h, axis=1)               # NaNs (empty slots) sort last
     d = np.diff(hs, axis=1)
     scale = np.maximum(np.abs(hs[:, :-1]), np.abs(hs[:, 1:]))
     with np.errstate(invalid="ignore"):
-        near = d <= ORDER_REL * scale     # NaN comparisons -> False
+        near = d <= np.float32(ORDER_REL) * scale  # NaN cmp -> False
     out = np.any(near, axis=1)
     if min_dist <= 0 or not out.any():
         return out
