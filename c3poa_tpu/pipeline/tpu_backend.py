@@ -30,11 +30,15 @@ from .backend import LocateResult, NumpyBackend
 
 # read-length buckets (L); reads longer than the last bucket fall back to
 # the exact numpy locate path (locate_many), so no read is ever truncated.
-# Profile cost is proportional to L, so denser buckets cut real device
-# time (2.25x padded/real cells measured with the 8k/32k/128k ladder);
-# powers of two ONLY — this environment's compile cache silently drops
+# COARSE ladder since round 5: the profile kernel skips dead 16-row x
+# 4096-col tiles past every read's end (length-sorted chunks), so padded
+# rows are nearly free, while every extra launch pays 30-50 ms of relay
+# dispatch — the round-5 interleaved A/B measured (32768, 131072) at
+# 1.273x over the old 5-bucket ladder (won 4/4 rounds: 1.32/1.17/1.40/
+# 1.23, BENCHMARKS.md).  Most groups now locate in ONE launch.
+# Powers of two ONLY — this environment's compile cache silently drops
 # non-pow2 locate shapes (a 49152 bucket recompiled ~170s every process).
-LEN_BUCKETS = (8192, 16384, 32768, 65536, 131072)
+LEN_BUCKETS = (32768, 131072)
 
 
 _LEN_BUCKET_CACHE: dict = {}
