@@ -284,8 +284,7 @@ def main():
                            if k.endswith("compiled_shapes")}
         except (OSError, ValueError):
             pass
-        warmup_info = {"s": round(warmup_s, 1),
-                       "cache_files_before": cache_before,
+        warmup_info = {"cache_files_before": cache_before,
                        "cache_files_after": cache_files(),
                        "compiled_shapes": warm_shapes}
 

@@ -135,17 +135,20 @@ def _poa_pool():
 def _poa_consensus_read(subreads, sub_quals):
     """One routed read's POA consensus: the scalar-C twin when the
     native library accepts (bit-identical, tests/test_poa_native.py),
-    else the numpy spec path (counted)."""
+    else the numpy spec path.  Returns (codes, quals, declined) —
+    the DECLINED flag is counted by the COLLECTING thread
+    (consensus_finalize), not here: this runs on pool workers, where
+    profiler increments would race and could land in the wrong run's
+    Profiler after a prof.reset()."""
     got = native.poa_consensus_c(subreads, sub_quals)
     if got is not None:
-        return got
+        return got[0], got[1], False
     from ..ref.poa import poa_consensus
-    from ..utils import prof
-    prof.current.count("poa_native_declined")
-    return poa_consensus(subreads, sub_quals)
+    cons, cq = poa_consensus(subreads, sub_quals)
+    return cons, cq, True
 
 
-def _diverged_owner(job, others, poa_fallback: float) -> bool:
+def _diverged_owner(others, poa_fallback: float) -> bool:
     """Divergence detector on round-1 records (see ConsensusParams
     .poa_fallback): mean symmetric aligned fraction of the voters below
     the threshold routes the read to the POA graph path."""
@@ -339,7 +342,7 @@ def consensus_align(state0: dict, align_many: AlignMany | None = None
     poa_futures: dict[int, object] = {}
     for ji, job in enumerate(jobs):
         if (isinstance(state0["cons"][ji], tuple)
-                and _diverged_owner(job, by_owner.get(ji, []),
+                and _diverged_owner(by_owner.get(ji, []),
                                     p.poa_fallback)):
             poa_futures[ji] = _poa_pool().submit(
                 _poa_consensus_read, job.subreads, job.sub_quals)
@@ -400,8 +403,7 @@ def consensus_finalize(state: dict) -> list:
                      if isinstance(cons[ji], tuple) and cons[ji][0] == "draft"]
     from ..utils import prof
     routed = [ji for ji in pending_votes
-              if _diverged_owner(jobs[ji], by_owner.get(ji, []),
-                                 p.poa_fallback)]
+              if _diverged_owner(by_owner.get(ji, []), p.poa_fallback)]
     if routed:
         # POA-graph fallback: consensus of the core subreads in read
         # order (the abPOA role, bin/determine_consensus.py:42-47) —
@@ -454,14 +456,18 @@ def consensus_finalize(state: dict) -> list:
         # stage ago by consensus_align) only now, after the votes:
         # maximal overlap on a CPU-saturated host
         futures = state.get("poa_futures", {})
+        declined = 0
         with prof.current.stage("poa_fallback"):
             for ji in routed:
                 fut = futures.get(ji)
                 if fut is not None:
-                    cons[ji], cons_q[ji] = fut.result()
+                    cons[ji], cons_q[ji], dec = fut.result()
                 else:
-                    cons[ji], cons_q[ji] = _poa_consensus_read(
+                    cons[ji], cons_q[ji], dec = _poa_consensus_read(
                         jobs[ji].subreads, jobs[ji].sub_quals)
+                declined += bool(dec)
+        if declined:
+            prof.current.count("poa_native_declined", declined)
 
     # ---- rounds 2..R: racon role over core + dangling ----
     for _ in range(p.rounds - 1):

@@ -45,6 +45,15 @@ NEG_F = jnp.float32(-3.0e38)
 #   round-5 locate-thread collapse; see ROUND5.md).
 MARGIN_REL = 1e-4
 ORDER_REL = 4e-6
+# absolute flip zone for adjacent-value structure comparisons (plateau
+# merge/split, rise/drop inversion).  Measured worst f32-vs-f64 error
+# of an ADJACENT DIFFERENCE of the smoothed profile: 8.4e-5 (bench-
+# shaped reads; the two windows share most of their support but the
+# three f32 smoothing iterations decorrelate the rounding).  A
+# comparison can only flip when the true difference is inside ~2x that;
+# 2e-4 gives 2.4x safety.  Only pairs at/above the 3x-median height
+# can change the output, which keeps the fire rate low.
+STRUCT_ATOL = 2e-4
 
 
 def _pow2_at_most(n: int, lo: int = 1) -> int:
@@ -169,7 +178,19 @@ def peak_candidates_batch(smoothed: jax.Array, lens: jax.Array,
     near_h = is_peak & (xm > 0) & (
         jnp.abs(xm - height[:, None])
         <= MARGIN_REL * jnp.maximum(jnp.abs(xm), jnp.abs(height)[:, None]))
-    margin = near_gate | jnp.any(near_h, axis=1)
+    # f32 margin guard, STRUCTURE half: an adjacent pair of smoothed
+    # values at/above the acceptance threshold whose difference sits
+    # inside the f32 flip zone (measured error <= 7.8e-5 absolute; 4e-4
+    # = 5x).  A flipped adjacent comparison there can merge/split a
+    # plateau or invert a rise/drop, moving a reported peak by a base
+    # or adding/removing one — invisible to the threshold guards.
+    # Restricting to above-threshold pairs keeps the rate tiny (noise
+    # maxima below 3x-median can flip freely without entering the
+    # output).
+    near_struct = (valid & (x_next > NEG_F / 2)
+                   & (xm >= height[:, None]) & (x_next >= height[:, None])
+                   & (jnp.abs(x_next - xm) <= STRUCT_ATOL))
+    margin = near_gate | jnp.any(near_h | near_struct, axis=1)
     h = jnp.where(ok, xm, NEG_F)
     midpoint = (l_run + jidx) // 2
 

@@ -249,6 +249,10 @@ class PoaGraph:
         """Heaviest path: max accumulated edge weight, ties broken by
         node support.  Returns (codes int8, quals int8)."""
         n = len(self.base)
+        if n == 0:
+            # empty graph (all-empty inputs): empty consensus — matches
+            # the C twin (native/poa.c) instead of crashing on argmax
+            return np.zeros(0, dtype=np.int8), np.zeros(0, dtype=np.int8)
         score = np.zeros(n, dtype=np.int64)
         best_pred = np.full(n, -1, dtype=np.int64)
         for v in self.order:

@@ -229,3 +229,21 @@ def test_margin_competitor_interaction_filter():
     assert bool(margin_competitors_host(three, h3, 300)[0])
     # min_dist=0 (no interaction info): conservative flag stays
     assert bool(margin_competitors_host(iso, h, 0)[0])
+
+
+def test_margin_guard_structure_flip():
+    """Adjacent above-threshold values inside the f32 structure flip
+    zone (a near-tied apex pair) must raise the margin flag; a clearly
+    separated apex must not."""
+    from c3poa_tpu.kernels.peaks import peak_candidates_batch
+
+    L = 128
+    rows = np.ones((2, L), dtype=np.float32)
+    rows[0, 60] = 8.0
+    rows[0, 61] = np.float32(8.0 + 1e-5)   # inside STRUCT_ATOL
+    rows[1, 60] = 8.0
+    rows[1, 61] = 7.0                      # clearly separated
+    lens = np.full(2, L, dtype=np.int32)
+    *_rest, _deep, marg = peak_candidates_batch(rows, lens, tile=32)
+    marg = np.asarray(marg)
+    assert bool(marg[0]) and not bool(marg[1])

@@ -91,7 +91,7 @@ def test_engine_routed_reads_unchanged_by_early_dispatch():
     state = consensus_prepare(jobs, p)
     routed = [ji for ji in range(len(jobs))
               if isinstance(state["cons"][ji], tuple)
-              and _diverged_owner(jobs[ji], state["by_owner"].get(ji, []),
+              and _diverged_owner(state["by_owner"].get(ji, []),
                                   p.poa_fallback)]
     assert routed, "test corpus failed to route any read"
     assert state["poa_futures"], "no POA futures were submitted"

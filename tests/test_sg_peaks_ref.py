@@ -62,3 +62,27 @@ def test_call_peaks_noise_gate():
     sm = sg.smooth3(flat)
     p, _ = peaks.call_peaks(sm, min_dist=500)
     assert len(p) == 0  # max < 6*median -> gated out
+
+
+def test_local_maxima_vectorized_matches_loop_oracle():
+    """The vectorized local_maxima must match the literal scipy loop
+    port on plateau-dense and smooth inputs (the docstring's claim)."""
+    import numpy as np
+    from c3poa_tpu.ref.peaks import local_maxima, local_maxima_loop
+    rng = np.random.default_rng(0)
+    for _ in range(200):
+        n = int(rng.integers(0, 40))
+        x = rng.integers(0, 4, size=n).astype(float)
+        np.testing.assert_array_equal(local_maxima(x),
+                                      local_maxima_loop(x))
+    for _ in range(30):
+        n = int(rng.integers(2, 1500))
+        x = rng.normal(size=n)
+        np.testing.assert_array_equal(local_maxima(x),
+                                      local_maxima_loop(x))
+    # edge plateaus: start/end runs never qualify
+    for x in ([1, 1, 0], [0, 1, 1], [2, 2, 2], [0, 1, 1, 0, 2, 2],
+              [0, 3, 3, 1, 3, 3, 0]):
+        xa = np.array(x, dtype=float)
+        np.testing.assert_array_equal(local_maxima(xa),
+                                      local_maxima_loop(xa))

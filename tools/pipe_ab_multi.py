@@ -28,7 +28,7 @@ DEFAULT_ARMS = (
     "C3POA_FAST_BAND=64",
     "C3POA_LOCATE_BUCKETS=16384,32768",
     "C3POA_P_LADDER_MAX=4096",
-    "C3POA_PACK_ALIGN=1",
+    "C3POA_PACK_ALIGN=0",  # default flipped ON in r5: arm measures OFF
     "C3POA_ALIGN_PIPE=2",
     "C3POA_WALK_WIDE=1",
     "C3POA_ALIGN_EARLY=1",
