@@ -136,6 +136,24 @@ def _profile_rows_jit(reads, lens, splints, popts=None):
     return _profile_impl(reads, splints, lens, popts)
 
 
+def profile_rows_combo(reads, lens, splints, combo):
+    """Flagged-read rerun fetch, combo-selected on device: (B, L) int32
+    — the already-chosen combo's exact profile row (an exact gather of
+    the same int32 DP ``profile_rows`` returns, so bit-parity is
+    unchanged) at HALF the download of the full (B, C, L) block.
+    ``combo`` is (B,) int32 (dummy rows 0)."""
+    B, L = reads.shape
+    return _profile_rows_combo_jit(reads, lens, splints, combo,
+                                   popts=profile_opts(B, L))
+
+
+@partial(jax.jit, static_argnames=("popts",))
+def _profile_rows_combo_jit(reads, lens, splints, combo, popts=None):
+    prof = _profile_impl(reads, splints, lens, popts)   # (B, C, L) int32
+    return jnp.take_along_axis(
+        prof, combo.astype(jnp.int32)[:, None, None], axis=1)[:, 0, :]
+
+
 def locate_device(reads: jax.Array, lens: jax.Array, splints: jax.Array,
                   tile: int = 64, unpack_l: int | None = None):
     """reads (B, L) int8 pad 4; lens (B,) int32; splints (C, m) int8 pad 4.

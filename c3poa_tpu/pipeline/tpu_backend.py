@@ -500,7 +500,7 @@ class TpuBackend:
             # decisions rerun on the host — not the O(m*n) host DP.
             # Combo/score stay device-chosen — bit-parity with the host
             # by kernel tests — so only the peaks are recomputed.
-            from ..kernels.locate import profile_rows
+            from ..kernels.locate import profile_rows_combo
             from ..ref.peaks import exact_peaks_from_profile
             from ..utils import prof
             if deep_rerun:
@@ -511,18 +511,29 @@ class TpuBackend:
                                    len(margin_rerun))
             flagged = sorted(deep_rerun + margin_rerun,
                              key=lambda i: len(reads[i]))
+            # dispatch every fetch first (device runs ahead; each chunk
+            # otherwise pays a full serial relay round-trip), then
+            # materialize; the chosen combo's row is gathered ON device
+            # (profile_rows_combo) — half the download, same exact int32
+            # profile, so the f64 host decisions are unchanged.
+            fetches = []
             for c0 in range(0, len(flagged), 8):
                 chunk = flagged[c0:c0 + 8]
                 Lb = _bucket_len(max(len(reads[i]) for i in chunk))
                 R8 = np.full((8, Lb), 4, dtype=np.int8)
                 l8 = np.full(8, 64, dtype=np.int32)
+                c8 = np.zeros(8, dtype=np.int32)
                 for r, i in enumerate(chunk):
                     codes = reads[i][:Lb]
                     R8[r, :len(codes)] = codes
                     l8[r] = len(codes)
-                prof8 = np.asarray(profile_rows(R8, l8, S))
+                    c8[r] = out[i].combo
+                fetches.append((chunk, l8,
+                                profile_rows_combo(R8, l8, S, c8)))
+            for chunk, l8, dev in fetches:
+                prof8 = np.asarray(dev)
                 for r, i in enumerate(chunk):
-                    row = prof8[r, out[i].combo, :l8[r]]
+                    row = prof8[r, :l8[r]]
                     pks = exact_peaks_from_profile(row, min_dist)
                     out[i] = LocateResult(out[i].combo, out[i].score,
                                           pks.astype(np.int64))
